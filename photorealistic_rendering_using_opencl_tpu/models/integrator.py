@@ -1,0 +1,296 @@
+"""Path-tracing integrator: one `lax.scan` over bounce depth, wavefront-wide.
+
+Re-design of ``kernels/integrators/pathtracing.cl`` + ``base.cl``.  The
+reference advances every pixel by ONE bounce per kernel launch with path
+state persisted in a global buffer (SURVEY §1 "execution model"); here a
+whole sample's path is traced to termination inside a single jitted scan --
+the path state is the scan carry (constant memory in depth), and ALL rays
+advance together (masked) so the device always sees full-width vector work.
+
+Estimator notes (same expectation as the reference, fewer intersects):
+  * The reference adds BSDF-sampled light hits at the *previous* vertex via
+    ``bsdfSample`` (base.cl:31-77, an extra scene intersect), then next
+    launch re-intersects.  We intersect once per bounce and weight light
+    hits by the power heuristic against the carried previous BSDF/phase pdf
+    -- the standard single-intersect MIS identity.
+  * Medium transmittance to BSDF-sampled light hits: the reference applies
+    exp(-sigmaT*t) explicitly; we let the next bounce's distance sampling
+    account for it (exited-path weight exp(-tau)/avg(exp(-tau)), unbiased).
+  * Volumetric scatter events do not increment the bounce counter in the
+    reference (pathtracing.cl:92-94), so the scan runs
+    max_bounces + scatter_budget steps.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from photorealistic_rendering_using_opencl_tpu.ops import (
+    bsdf as bsdf_ops, envmap, lights, media, phase as phase_ops,
+)
+from photorealistic_rendering_using_opencl_tpu.ops.intersect import (
+    intersect_scene, shadow_visible,
+)
+from photorealistic_rendering_using_opencl_tpu.ops.math import (
+    RAY_INF, fmax3, power_heuristic, to_global, to_local,
+)
+from photorealistic_rendering_using_opencl_tpu.ops.rng import Sampler
+from photorealistic_rendering_using_opencl_tpu.scene.types import (
+    DIFFUSE_REFLECTION_LOBE, GLOSSY_REFLECTION_LOBE, LIGHT,
+    SceneConfig, SceneData, SPECULAR_LOBE, SPECULAR_REFLECTION_LOBE,
+    TRANSMISSIVE_LOBE,
+)
+
+# random-dimension layout: dims [0,8) belong to the camera; each bounce
+# consumes a fixed window so streams are shard- and replay-invariant.
+CAMERA_DIMS = 8
+DIMS_PER_BOUNCE = 16
+
+
+class PathState(NamedTuple):
+    origin: jnp.ndarray  # [N,3]
+    direction: jnp.ndarray  # [N,3]
+    mask: jnp.ndarray  # [N,3] throughput
+    acc: jnp.ndarray  # [N,3] accumulated radiance
+    alpha: jnp.ndarray  # [N]
+    alive: jnp.ndarray  # [N] bool
+    prev_pdf: jnp.ndarray  # [N] pdf of the sampling strategy that chose dir
+    prev_specular: jnp.ndarray  # [N] bool (Dirac lobe -> no MIS)
+    prev_did_nee: jnp.ndarray  # [N] bool (light sampling ran at prev vertex)
+    n_diff: jnp.ndarray  # [N] int32 lobe-class bounce counters
+    n_spec: jnp.ndarray
+    n_trans: jnp.ndarray
+    n_scatter: jnp.ndarray
+    n_total: jnp.ndarray
+
+
+def init_state(origin, direction) -> PathState:
+    n = origin.shape[0]
+    f1 = jnp.ones((n,), jnp.float32)
+    i0 = jnp.zeros((n,), jnp.int32)
+    return PathState(
+        origin=origin, direction=direction,
+        mask=jnp.ones((n, 3), jnp.float32),
+        acc=jnp.zeros((n, 3), jnp.float32),
+        alpha=f1,
+        alive=jnp.ones((n,), bool),
+        prev_pdf=f1,
+        prev_specular=jnp.ones((n,), bool),  # main.cl:133 wasSpecular=true
+        prev_did_nee=jnp.zeros((n,), bool),
+        n_diff=i0, n_spec=i0, n_trans=i0, n_scatter=i0, n_total=i0,
+    )
+
+
+def gather_material(cfg: SceneConfig, scene: SceneData, mesh_id
+                    ) -> bsdf_ops.MatProps:
+    """Per-ray material fetch; the OBJ mesh (id == n_objects) uses the
+    dedicated obj_* slots (src/main.cpp:404-405)."""
+    idx = jnp.clip(mesh_id, 0, scene.mat_type.shape[0] - 1)
+    props = bsdf_ops.MatProps(
+        color=scene.color[idx], eta=scene.eta[idx], k=scene.k[idx],
+        roughness=scene.roughness[idx], mat_type=scene.mat_type[idx],
+        lobes=scene.lobes[idx], dist=scene.dist[idx],
+    )
+    if cfg.has_mesh:
+        is_obj = (mesh_id == cfg.n_objects)
+        io1 = is_obj[..., None]
+        props = bsdf_ops.MatProps(
+            color=jnp.where(io1, scene.obj_color, props.color),
+            eta=jnp.where(io1, scene.obj_eta, props.eta),
+            k=jnp.where(io1, scene.obj_k, props.k),
+            roughness=jnp.where(is_obj, scene.obj_roughness, props.roughness),
+            mat_type=jnp.where(is_obj, scene.obj_mat_type, props.mat_type),
+            lobes=jnp.where(is_obj, scene.obj_lobes, props.lobes),
+            dist=jnp.where(is_obj, scene.obj_dist, props.dist),
+        )
+    return props
+
+
+def _medium_transmittance(cfg, scene, dist):
+    return media.homogeneous_transmittance(scene.medium_sigma_t, dist)
+
+
+def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
+                sampler: Sampler, bounce) -> PathState:
+    """Advance every live path by one event (surface bounce or scatter)."""
+    p_eval, p_pdf, p_sample = phase_ops.get(cfg.phase_function)
+    g = scene.phase_g
+
+    hit = intersect_scene(cfg, scene, state.origin, state.direction)
+    mat = gather_material(cfg, scene, hit.mesh_id)
+    alive = state.alive
+
+    acc = state.acc
+    mask = state.mask
+    alpha = state.alpha
+
+    # ---------------- global medium (pathtracing.cl:35-62) ----------------
+    scattered = jnp.zeros_like(alive)
+    if cfg.has_global_medium:
+        u_chan, u_dist = sampler.next2d()
+        ms = media.homogeneous_sample_distance(
+            scene.medium_sigma_s, scene.medium_sigma_t,
+            cfg.medium_absorption_only,
+            state.origin, state.direction, hit.t, u_chan, u_dist)
+        mask = jnp.where(alive[..., None], mask * ms.weight, mask)
+        scattered = (alive & ~ms.exited
+                     & (state.n_scatter < cfg.max_scattering_events))
+
+        # volumetric NEE (base.cl:194-230)
+        vol_nee = (cfg.enable_volume_light_sampling
+                   and cfg.n_lights > 0 and cfg.enable_light_sampling)
+        u_pick, ul1, ul2, up1, up2 = sampler.nextnd(5)
+        if vol_nee:
+            li, pick_pdf = lights.pick_light(cfg, scene, u_pick)
+            rec = lights.sample_direct(cfg, scene, li, ms.p, ul1, ul2)
+            do_nee = scattered & rec.valid
+            if not cfg.low_order_scattering:
+                do_nee = do_nee & (state.n_scatter > 0)
+            f_ph = p_eval(state.direction, rec.d, g)
+            vis = shadow_visible(cfg, scene, ms.p, rec.d, rec.dist)
+            trans = _medium_transmittance(cfg, scene, rec.dist)
+            light_col = scene.color[li]
+            contrib = (light_col * trans * f_ph[..., None]
+                       * (power_heuristic(rec.pdf, p_pdf(state.direction, rec.d, g))
+                          / jnp.maximum(rec.pdf, 1e-20))[..., None]) / pick_pdf
+            acc = acc + jnp.where((do_nee & vis)[..., None],
+                                  mask * contrib, 0.0)
+
+        # phase sampling continues the path
+        w_new, ph_pdf = p_sample(state.direction, up1, up2, g)
+        new_origin = jnp.where(scattered[..., None], ms.p, state.origin)
+        new_dir = jnp.where(scattered[..., None], w_new, state.direction)
+        state = state._replace(
+            origin=new_origin, direction=new_dir,
+            n_scatter=jnp.where(scattered, state.n_scatter + 1,
+                                state.n_scatter),
+            prev_pdf=jnp.where(scattered, ph_pdf, state.prev_pdf),
+            prev_specular=jnp.where(scattered, ~jnp.asarray(vol_nee),
+                                    state.prev_specular),
+            prev_did_nee=jnp.where(scattered, jnp.asarray(vol_nee),
+                                   state.prev_did_nee),
+        )
+
+    surface = alive & ~scattered
+
+    # ---------------- miss -> environment (pathtracing.cl:66-74) ----------
+    missed = surface & ~hit.valid
+    if cfg.alpha_testing:
+        alpha = jnp.where(missed, 0.0, alpha)
+    else:
+        env = envmap.radiance(scene.env_map, state.direction)
+        acc = acc + jnp.where(missed[..., None], mask * env, 0.0)
+
+    # ---------------- light hit (pathtracing.cl:76-84 + bsdfSample MIS) ---
+    is_light = surface & hit.valid & ((mat.mat_type & LIGHT) != 0)
+    if cfg.n_lights > 0:
+        d_pdf = lights.direct_pdf(cfg, scene,
+                                  jnp.clip(hit.mesh_id, 0,
+                                           scene.mat_type.shape[0] - 1),
+                                  state.origin, state.direction)
+        w_mis = jnp.where(state.prev_specular | ~state.prev_did_nee,
+                          1.0,
+                          power_heuristic(state.prev_pdf, d_pdf))
+        if not cfg.enable_light_sampling:
+            w_mis = jnp.ones_like(w_mis)
+        acc = acc + jnp.where(is_light[..., None],
+                              mask * mat.color * w_mis[..., None], 0.0)
+
+    # ---------------- surface scatter (base.cl:138-192) -------------------
+    shade = surface & hit.valid & ~is_light
+    wi = to_local(hit.normal, -state.direction)
+
+    u_pick, ul1, ul2 = sampler.nextnd(3)
+    did_nee = jnp.zeros_like(shade)
+    if cfg.enable_light_sampling and cfg.n_lights > 0:
+        li, pick_pdf = lights.pick_light(cfg, scene, u_pick)
+        rec = lights.sample_direct(cfg, scene, li, hit.pos, ul1, ul2)
+        nee_ok = shade & bsdf_ops.nee_capable(mat) & rec.valid
+        wo_l = to_local(hit.normal, rec.d)
+        f = bsdf_ops.evaluate(cfg, mat, wi, wo_l, hit.backside, hit.t)
+        b_pdf = bsdf_ops.pdf(cfg, mat, wi, wo_l)
+        nonzero = jnp.sum(f * f, axis=-1) > 0.0
+        vis = shadow_visible(cfg, scene, hit.pos, rec.d, rec.dist)
+        light_col = scene.color[li]
+        contrib = light_col * f
+        if cfg.has_global_medium:
+            contrib = contrib * _medium_transmittance(cfg, scene, rec.dist)
+        contrib = contrib * (power_heuristic(rec.pdf, b_pdf)
+                             / jnp.maximum(rec.pdf, 1e-20))[..., None]
+        contrib = contrib / pick_pdf
+        take = nee_ok & nonzero & vis
+        acc = acc + jnp.where(take[..., None], mask * contrib, 0.0)
+        did_nee = shade & bsdf_ops.nee_capable(mat)
+
+    u0, u1, u2 = sampler.nextnd(3)
+    samp = bsdf_ops.sample(cfg, mat, wi, hit.backside, hit.t, u0, u1, u2)
+    new_dir = to_global(hit.normal, samp.wo)
+    bsdf_dead = shade & ~samp.valid
+
+    mask = jnp.where(shade[..., None], mask * samp.weight, mask)
+    state = state._replace(
+        origin=jnp.where(shade[..., None], hit.pos, state.origin),
+        direction=jnp.where(shade[..., None], new_dir, state.direction),
+        prev_pdf=jnp.where(shade, samp.pdf, state.prev_pdf),
+        prev_specular=jnp.where(shade, (samp.lobe & SPECULAR_LOBE) != 0,
+                                state.prev_specular),
+        prev_did_nee=jnp.where(shade, did_nee, state.prev_did_nee),
+        n_diff=state.n_diff + jnp.where(
+            shade & ((samp.lobe & (DIFFUSE_REFLECTION_LOBE
+                                   | GLOSSY_REFLECTION_LOBE)) != 0), 1, 0),
+        n_spec=state.n_spec + jnp.where(
+            shade & ((samp.lobe & SPECULAR_REFLECTION_LOBE) != 0), 1, 0),
+        n_trans=state.n_trans + jnp.where(
+            shade & ((samp.lobe & TRANSMISSIVE_LOBE) != 0), 1, 0),
+        n_scatter=jnp.where(shade, 0, state.n_scatter),
+        n_total=state.n_total + jnp.where(shade, 1, 0),
+    )
+
+    # ---------------- russian roulette (pathtracing.cl:97-106) ------------
+    u_rr = sampler.next1d()
+    roulette_pdf = fmax3(mask)
+    do_rr = (state.n_total > 2) & (roulette_pdf < 0.1) & shade
+    rr_survive = u_rr < roulette_pdf
+    mask = jnp.where((do_rr & rr_survive)[..., None],
+                     mask / jnp.maximum(roulette_pdf, 1e-20)[..., None], mask)
+    rr_dead = do_rr & ~rr_survive
+
+    # ---------------- termination (pathtracing.cl:108-115) ----------------
+    over_budget = (
+        (state.n_total >= cfg.max_bounces)
+        | (state.n_diff >= cfg.max_diff_bounces)
+        | (state.n_spec >= cfg.max_spec_bounces)
+        | (state.n_trans >= cfg.max_trans_bounces)
+    )
+    alive = (alive & ~missed & ~is_light & ~bsdf_dead & ~rr_dead
+             & ~(surface & over_budget))
+    return state._replace(mask=mask, acc=acc, alpha=alpha, alive=alive)
+
+
+def n_steps_for(cfg: SceneConfig, scatter_cap: int = 16) -> int:
+    extra = min(cfg.max_scattering_events, scatter_cap) \
+        if cfg.has_global_medium else 0
+    return cfg.max_bounces + extra
+
+
+def trace(cfg: SceneConfig, scene: SceneData, origin, direction,
+          pixel_idx, sample_idx, seed=0, rng_scheme: str = "pcg4d",
+          scatter_cap: int = 16):
+    """Trace one sample per ray to termination.
+
+    Returns (radiance [N,3], alpha [N]).
+    """
+    state = init_state(origin, direction)
+    n_steps = n_steps_for(cfg, scatter_cap)
+
+    def body(state, bounce):
+        sampler = Sampler(pixel_idx, sample_idx, seed=seed,
+                          scheme=rng_scheme,
+                          dim=CAMERA_DIMS + bounce * DIMS_PER_BOUNCE)
+        state = bounce_step(cfg, scene, state, sampler, bounce)
+        return state, None
+
+    state, _ = jax.lax.scan(body, state, jnp.arange(n_steps, dtype=jnp.int32))
+    return state.acc, state.alpha

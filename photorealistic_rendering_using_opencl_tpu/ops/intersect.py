@@ -1,0 +1,422 @@
+"""Scene intersection: analytic primitives, SDF raymarching, BVH meshes.
+
+Wavefront re-design of ``kernels/intersect.cl`` + ``kernels/geometry/*``:
+instead of one work-item walking primitive lists, the whole ray batch is
+intersected against each primitive *class* with broadcasting ([rays x
+objects] on the VPU), the SDF raymarcher is a masked ``lax.while_loop``
+over the batch, and BVH traversal is a vectorized stackless walk over a
+DFS-threaded node array (skip links) -- no per-lane stacks (the single
+biggest TPU hazard called out in SURVEY §7).
+
+Object ordering matches the reference SoA: [spheres | sdfs | boxes | quads]
+(include/Scene/scene.h:262-469); the OBJ triangle mesh is a virtual object
+with id == cfg.n_objects.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from photorealistic_rendering_using_opencl_tpu.ops.math import EPS, RAY_INF, normalize
+from photorealistic_rendering_using_opencl_tpu.scene.types import (
+    DIEL, ROUGH_DIEL, SceneConfig, SceneData,
+    SDF_BOX, SDF_PLANE, SDF_ROUND_BOX, SDF_SPHERE,
+)
+
+
+class Hit(NamedTuple):
+    t: jnp.ndarray  # [N] distance (RAY_INF on miss)
+    mesh_id: jnp.ndarray  # [N] int32; object index, cfg.n_objects for the OBJ
+    pos: jnp.ndarray  # [N,3]
+    normal: jnp.ndarray  # [N,3] (shading normal, backside-resolved)
+    backside: jnp.ndarray  # [N] bool
+
+    @property
+    def valid(self):
+        return self.t < RAY_INF
+
+
+# ===========================================================================
+# Analytic primitives (broadcast over [rays, objects])
+# ===========================================================================
+
+def sphere_hits(origin, direction, centers, radii):
+    """[N,3] rays vs [S] spheres -> t[N,S] (inf on miss).
+
+    Nearest-positive-root form of intersect_sphere (sphere.cl:5-27).
+    """
+    p = origin[:, None, :] - centers[None, :, :]  # [N,S,3]
+    b = jnp.sum(p * direction[:, None, :], axis=-1)
+    c = jnp.sum(p * p, axis=-1) - radii[None, :] ** 2
+    det_sq = b * b - c
+    det = jnp.sqrt(jnp.maximum(det_sq, 0.0))
+    t0 = -b - det
+    t1 = -b + det
+    t = jnp.where(t0 > EPS, t0, jnp.where(t1 > EPS, t1, jnp.inf))
+    return jnp.where(det_sq >= 0.0, t, jnp.inf)
+
+
+def box_hits(origin, direction, centers, half_extents):
+    """Slab test vs [B] boxes -> (t[N,B], normal[N,B,3], backside[N,B]).
+
+    Matches intersect_box (box.cl:5-40) including the sign/step normal trick.
+    NB the reference treats ``pos + joker`` / ``pos - joker`` as the two
+    corners, i.e. joker = half extents about pos.
+    """
+    inv_d = 1.0 / jnp.where(jnp.abs(direction) < 1e-12,
+                            jnp.copysign(1e-12, direction), direction)
+    o = origin[:, None, :]
+    idv = inv_d[:, None, :]
+    tmin = (centers[None] + half_extents[None] - o) * idv
+    tmax = (centers[None] - half_extents[None] - o) * idv
+    real_min = jnp.minimum(tmin, tmax)  # [N,B,3]
+    real_max = jnp.maximum(tmin, tmax)
+    minmax = jnp.min(real_max, axis=-1)
+    maxmin = jnp.max(real_min, axis=-1)
+    outside = maxmin > 0.0
+    hit = (minmax > maxmin) & ((outside & (maxmin > 0.0)) | (minmax > 0.0))
+    t = jnp.where(outside, maxmin, minmax)
+    # face normal: the axis achieving the entry (or exit, when inside) time
+    plane = jnp.where(outside[..., None], real_min, real_max)
+    is_face = plane >= jnp.max(plane, axis=-1, keepdims=True) - 0.0
+    # exact comparison like the reference's step() trick
+    sel = jnp.where(outside[..., None],
+                    plane == maxmin[..., None],
+                    plane == minmax[..., None])
+    normal = -jnp.sign(direction)[:, None, :] * sel.astype(jnp.float32)
+    backside = ~outside
+    t = jnp.where(hit & (t > EPS), t, jnp.inf)
+    return t, normal, backside
+
+
+def quad_hits(origin, direction, base, edge0, edge1, normal):
+    """One-sided parallelogram intersect (quad.cl:11-38) -> t[N,Q].
+
+    The stored ``base`` is the rect center of the reference's JSON
+    ("vertices": center, edge0, edge1); the anchor corner is
+    base - (edge0+edge1)/2 (quad.cl:17).
+    """
+    ndotw = jnp.sum(normal[None] * direction[:, None, :], axis=-1)  # [N,Q]
+    anchor = base - (edge0 + edge1) * 0.5
+    rt = jnp.sum(normal[None] * (anchor[None] - origin[:, None, :]), axis=-1) \
+        / jnp.where(jnp.abs(ndotw) < 1e-12, 1e-12, ndotw)
+    q = origin[:, None, :] + rt[..., None] * direction[:, None, :]
+    v = q - anchor[None]
+    l0 = jnp.sum(v * edge0[None], axis=-1) / jnp.maximum(
+        jnp.sum(edge0 * edge0, axis=-1)[None], 1e-12)
+    l1 = jnp.sum(v * edge1[None], axis=-1) / jnp.maximum(
+        jnp.sum(edge1 * edge1, axis=-1)[None], 1e-12)
+    ok = ((ndotw >= 1e-5) & (rt > EPS)
+          & (l0 >= 0.0) & (l0 <= 1.0) & (l1 >= 0.0) & (l1 <= 1.0))
+    return jnp.where(ok, rt, jnp.inf)
+
+
+# ===========================================================================
+# SDF raymarching (sdf.cl)
+# ===========================================================================
+
+def sd_primitive(geom_type, center_rel, params):
+    """Signed distance of one SDF object; broadcast [..., objects].
+
+    geom_type[S] carries the SDF subtype bits; params[S,4]; center_rel
+    [..., S, 3] = p - position.
+    """
+    p = center_rel
+    r = params[..., 0]
+    b = params[..., :3]
+    d_sphere = jnp.linalg.norm(p, axis=-1) - r
+    q = jnp.abs(p) - b
+    d_box = (jnp.minimum(jnp.max(q, axis=-1), 0.0)
+             + jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1))
+    d_round = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1) - params[..., 3]
+    d_plane = jnp.sum(p * params[..., :3], axis=-1) + params[..., 3]
+    d = jnp.where((geom_type & SDF_SPHERE) != 0, d_sphere,
+        jnp.where((geom_type & SDF_BOX) != 0, d_box,
+        jnp.where((geom_type & SDF_ROUND_BOX) != 0, d_round,
+        jnp.where((geom_type & SDF_PLANE) != 0, d_plane, jnp.inf))))
+    return d
+
+
+def sdf_map(pos, centers, geom_type, params):
+    """min over SDF objects; pos [N,3] -> (dist[N], argmin[N])."""
+    rel = pos[:, None, :] - centers[None]
+    d = sd_primitive(geom_type[None], rel, params[None])  # [N,S]
+    return jnp.min(d, axis=-1), jnp.argmin(d, axis=-1).astype(jnp.int32)
+
+
+def sdf_march(origin, direction, t_limit, centers, geom_type, params,
+              steps: int):
+    """Sphere tracing (sdf.cl:103-118): returns (t[N], obj[N], hit[N])."""
+
+    def body(carry):
+        i, t, done = carry
+        pos = origin + direction * t[..., None]
+        h, _ = sdf_map(pos, centers, geom_type, params)
+        h = jnp.abs(h)
+        new_done = done | (h < EPS) | (t > t_limit)
+        t = jnp.where(new_done, t, t + h)
+        return i + 1, t, new_done
+
+    def cond(carry):
+        i, _, done = carry
+        return (i < steps) & ~jnp.all(done)
+
+    t0 = jnp.full(origin.shape[:-1], EPS * 10.0, jnp.float32)
+    done0 = jnp.zeros(origin.shape[:-1], bool)
+    _, t, _ = jax.lax.while_loop(cond, body, (jnp.array(0), t0, done0))
+    hit = t <= t_limit
+    pos = origin + direction * t[..., None]
+    _, obj = sdf_map(pos, centers, geom_type, params)
+    return t, obj, hit
+
+
+def sdf_normal(pos, centers, geom_type, params, obj_idx):
+    """Central differences on the selected object (sdf.cl:77-85)."""
+    c = centers[obj_idx]
+    gt = geom_type[obj_idx]
+    pr = params[obj_idx]
+    e = EPS * 2.0
+    grads = []
+    for axis in range(3):
+        off = jnp.zeros((3,), jnp.float32).at[axis].set(e)
+        dp = sd_primitive(gt, pos + off - c, pr)
+        dm = sd_primitive(gt, pos - off - c, pr)
+        grads.append(dp - dm)
+    return normalize(jnp.stack(grads, axis=-1))
+
+
+# ===========================================================================
+# BVH traversal: stackless skip-link walk + Moller-Trumbore
+# ===========================================================================
+
+LEAF_SIZE = 4  # build-time max primitives per leaf (scene/bvh_build.py)
+
+
+def _tri_intersect(p0, p1, p2, origin, direction, t_best):
+    """Reference triangle test (triangle.cl:4-43) -> (hit, t, u, w)."""
+    e1 = p0 - p1
+    e2 = p2 - p0
+    n = jnp.cross(e1, e2)
+    c = p0 - origin
+    r = jnp.cross(direction, c)
+    den = jnp.sum(n * direction, axis=-1)
+    inv_det = 1.0 / jnp.where(jnp.abs(den) < 1e-20,
+                              jnp.copysign(1e-20, den), den)
+    u = jnp.sum(r * e2, axis=-1) * inv_det
+    v = jnp.sum(r * e1, axis=-1) * inv_det
+    w = 1.0 - u - v
+    t = jnp.sum(n * c, axis=-1) * inv_det
+    hit = (u >= 0.0) & (v >= 0.0) & (w >= 0.0) & (t > EPS) & (t < t_best)
+    return hit, t, u, v
+
+
+def bvh_traverse(scene: SceneData, origin, direction, t_init):
+    """Closest-hit over the threaded BVH.
+
+    Returns (t[N], tri[N] (-1 = none), u[N], v[N]).  The walk replaces the
+    reference's 64-deep per-thread stack (bvh.cl:131-206) with a skip-link
+    (``miss``) threading: hit+inner -> node+1, else -> miss[node].  Every
+    ray in the batch advances one node per iteration of a single
+    ``lax.while_loop`` -- uniform control flow, VPU-wide.
+    """
+    n_nodes = scene.bvh_miss.shape[0]
+    nray = origin.shape[0]
+    inv_d = 1.0 / jnp.where(jnp.abs(direction) < 1e-12,
+                            jnp.copysign(1e-12, direction), direction)
+
+    def cond(carry):
+        node, t, tri, u, v = carry
+        return jnp.any(node < n_nodes)
+
+    def body(carry):
+        node, t, tri, u, v = carry
+        nid = jnp.minimum(node, n_nodes - 1)
+        bmin = scene.bvh_bounds_min[nid]
+        bmax = scene.bvh_bounds_max[nid]
+        t_lo = (bmin - origin) * inv_d
+        t_hi = (bmax - origin) * inv_d
+        entry = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1)
+        entry = jnp.maximum(entry, EPS)
+        exit_ = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1)
+        exit_ = jnp.minimum(exit_, t)
+        active = node < n_nodes
+        box_hit = active & (entry <= exit_)
+
+        count = scene.bvh_prim_count[nid]
+        first = scene.bvh_first_prim[nid]
+        is_leaf = count > 0
+        for k in range(LEAF_SIZE):
+            pidx = first + k
+            tv = scene.tri_verts[pidx]  # [N,3,3]
+            h, tk, uk, vk = _tri_intersect(tv[:, 0], tv[:, 1], tv[:, 2],
+                                           origin, direction, t)
+            take = box_hit & is_leaf & (k < count) & h
+            t = jnp.where(take, tk, t)
+            tri = jnp.where(take, pidx, tri)
+            u = jnp.where(take, uk, u)
+            v = jnp.where(take, vk, v)
+
+        descend = box_hit & ~is_leaf
+        nxt = jnp.where(descend, node + 1, scene.bvh_miss[nid])
+        node = jnp.where(active, nxt, node)
+        return node, t, tri, u, v
+
+    carry0 = (
+        jnp.zeros((nray,), jnp.int32),
+        jnp.asarray(t_init, jnp.float32),
+        jnp.full((nray,), -1, jnp.int32),
+        jnp.zeros((nray,), jnp.float32),
+        jnp.zeros((nray,), jnp.float32),
+    )
+    node, t, tri, u, v = jax.lax.while_loop(cond, body, carry0)
+    return t, tri, u, v
+
+
+def bvh_smooth_normal(scene: SceneData, tri, u, v):
+    """Barycentric vertex-normal interpolation (triangle.cl:29-37)."""
+    tn = scene.tri_normals[jnp.maximum(tri, 0)]  # [N,3,3]
+    w = 1.0 - u - v
+    n = (w[..., None] * tn[:, 0] + u[..., None] * tn[:, 1]
+         + v[..., None] * tn[:, 2])
+    return n
+
+
+# ===========================================================================
+# Scene-level closest hit + shadow (intersect.cl:94-236)
+# ===========================================================================
+
+OBJ_MESH_ID_OFFSET = 0  # mesh id == cfg.n_objects
+
+
+def intersect_scene(cfg: SceneConfig, scene: SceneData, origin, direction
+                    ) -> Hit:
+    n = origin.shape[0]
+    t = jnp.full((n,), RAY_INF, jnp.float32)
+    mesh_id = jnp.full((n,), -1, jnp.int32)
+    normal = jnp.zeros((n, 3), jnp.float32)
+
+    s0, s1 = 0, cfg.n_spheres
+    d0, d1 = s1, s1 + cfg.n_sdfs
+    b0, b1 = d1, d1 + cfg.n_boxes
+    q0, q1 = b1, b1 + cfg.n_quads
+
+    if cfg.has_mesh:
+        tm, tri, u, v = bvh_traverse(scene, origin, direction, t)
+        hit_m = tri >= 0
+        nm = normalize(bvh_smooth_normal(scene, tri, u, v))
+        t = jnp.where(hit_m, tm, t)
+        mesh_id = jnp.where(hit_m, cfg.n_objects, mesh_id)
+        normal = jnp.where(hit_m[..., None], nm, normal)
+
+    if cfg.n_spheres:
+        ts = sphere_hits(origin, direction,
+                         scene.position[s0:s1], scene.params[s0:s1, 0])
+        best = jnp.min(ts, axis=-1)
+        arg = jnp.argmin(ts, axis=-1).astype(jnp.int32)
+        better = best < t
+        t = jnp.where(better, best, t)
+        mesh_id = jnp.where(better, s0 + arg, mesh_id)
+        pos = origin + direction * t[..., None]
+        ns = normalize(pos - scene.position[s0 + jnp.maximum(arg, 0)])
+        normal = jnp.where(better[..., None], ns, normal)
+
+    if cfg.n_sdfs:
+        tsdf, obj, hit_s = sdf_march(origin, direction, t,
+                                     scene.position[d0:d1],
+                                     scene.geom_type[d0:d1],
+                                     scene.params[d0:d1],
+                                     cfg.marching_steps)
+        better = hit_s & (tsdf < t)
+        t = jnp.where(better, tsdf, t)
+        mesh_id = jnp.where(better, d0 + obj, mesh_id)
+        pos = origin + direction * t[..., None]
+        nsdf = sdf_normal(pos, scene.position[d0:d1], scene.geom_type[d0:d1],
+                          scene.params[d0:d1], obj)
+        normal = jnp.where(better[..., None], nsdf, normal)
+
+    if cfg.n_boxes:
+        tb, nb, _bs = box_hits(origin, direction,
+                               scene.position[b0:b1], scene.params[b0:b1, :3])
+        best = jnp.min(tb, axis=-1)
+        arg = jnp.argmin(tb, axis=-1)
+        better = best < t
+        t = jnp.where(better, best, t)
+        mesh_id = jnp.where(better, b0 + arg.astype(jnp.int32), mesh_id)
+        nsel = jnp.take_along_axis(nb, arg[:, None, None], axis=1)[:, 0]
+        normal = jnp.where(better[..., None], nsel, normal)
+
+    if cfg.n_quads:
+        tq = quad_hits(origin, direction, scene.quad_base[q0:q1],
+                       scene.quad_edge0[q0:q1], scene.quad_edge1[q0:q1],
+                       scene.quad_normal[q0:q1])
+        best = jnp.min(tq, axis=-1)
+        arg = jnp.argmin(tq, axis=-1).astype(jnp.int32)
+        better = best < t
+        t = jnp.where(better, best, t)
+        mesh_id = jnp.where(better, q0 + arg, mesh_id)
+        nq = scene.quad_normal[q0 + jnp.maximum(arg, 0)]
+        normal = jnp.where(better[..., None], nq, normal)
+
+    pos = origin + direction * t[..., None]
+
+    # backside resolve (intersect.cl:222-233): flip the normal against the
+    # ray unless the material is purely transmissive dielectric.
+    mat_t = material_type_of(cfg, scene, mesh_id)
+    n_trans = (mat_t & ~(DIEL | ROUGH_DIEL)) != 0
+    backside = jnp.sum(normal * direction, axis=-1) > 0.0
+    flip = n_trans & backside
+    normal = jnp.where(flip[..., None], -normal, normal)
+    return Hit(t, mesh_id, pos, normal, backside)
+
+
+def material_type_of(cfg: SceneConfig, scene: SceneData, mesh_id):
+    idx = jnp.clip(mesh_id, 0, scene.mat_type.shape[0] - 1)
+    t = scene.mat_type[idx]
+    if cfg.has_mesh:
+        t = jnp.where(mesh_id == cfg.n_objects, scene.obj_mat_type, t)
+    return jnp.where(mesh_id < 0, 0, t)
+
+
+def shadow_visible(cfg: SceneConfig, scene: SceneData, origin, direction,
+                   max_dist) -> jnp.ndarray:
+    """True where the segment [origin, origin + dir*max_dist] is unoccluded.
+
+    Mirrors shadow() (intersect.cl:94-152): SDFs use the cheaper shadow
+    march budget; everything else reuses the closest-hit tests with an
+    early distance cap.
+    """
+    n = origin.shape[0]
+    limit = max_dist * (1.0 - 1e-3)
+    blocked = jnp.zeros((n,), bool)
+
+    s0, s1 = 0, cfg.n_spheres
+    d0, d1 = s1, s1 + cfg.n_sdfs
+    b0, b1 = d1, d1 + cfg.n_boxes
+    q0, q1 = b1, b1 + cfg.n_quads
+
+    if cfg.has_mesh:
+        tm, tri, _, _ = bvh_traverse(scene, origin, direction, limit)
+        blocked = blocked | (tri >= 0)
+    if cfg.n_spheres:
+        ts = jnp.min(sphere_hits(origin, direction, scene.position[s0:s1],
+                                 scene.params[s0:s1, 0]), axis=-1)
+        blocked = blocked | (ts < limit)
+    if cfg.n_sdfs:
+        _, _, hit_s = sdf_march(origin, direction, limit,
+                                scene.position[d0:d1], scene.geom_type[d0:d1],
+                                scene.params[d0:d1],
+                                cfg.shadow_marching_steps)
+        blocked = blocked | hit_s
+    if cfg.n_boxes:
+        tb, _, _ = box_hits(origin, direction, scene.position[b0:b1],
+                            scene.params[b0:b1, :3])
+        blocked = blocked | (jnp.min(tb, axis=-1) < limit)
+    if cfg.n_quads:
+        tq = jnp.min(quad_hits(origin, direction, scene.quad_base[q0:q1],
+                               scene.quad_edge0[q0:q1],
+                               scene.quad_edge1[q0:q1],
+                               scene.quad_normal[q0:q1]), axis=-1)
+        blocked = blocked | (tq < limit)
+    return ~blocked

@@ -1,0 +1,112 @@
+"""Vector math + orthonormal bases, batched over leading axes.
+
+All functions operate on arrays whose LAST axis is the 3-vector; everything
+broadcasts over arbitrary leading (ray-batch) dimensions, replacing the
+reference's scalar ``float3`` helpers (``include/Math/linear_algebra.h``,
+``kernels/header.cl:179-204``) with vectorized forms the VPU eats whole.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+EPS = 1e-5
+# NOTE: the reference clamps rays at INF = 2e1 (header.cl:5), i.e. a 20-unit
+# world. That is a bug-by-convention we keep configurable; 1e30 is "infinity"
+# but scene intersects still report the reference's horizon where required.
+RAY_INF = 2e1
+BIG = 1e30
+
+PI = jnp.pi
+TWO_PI = 2.0 * jnp.pi
+FOUR_PI = 4.0 * jnp.pi
+INV_PI = 1.0 / jnp.pi
+INV_TWO_PI = 1.0 / (2.0 * jnp.pi)
+INV_FOUR_PI = 1.0 / (4.0 * jnp.pi)
+
+
+def dot(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(a * b, axis=-1)
+
+
+def dot3(a, b):
+    return jnp.sum(a * b, axis=-1, keepdims=True)
+
+
+def cross(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.cross(a, b)
+
+
+def length(a: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sqrt(jnp.maximum(dot(a, a), 0.0))
+
+
+def normalize(a: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
+    return a * jnp.reciprocal(jnp.sqrt(jnp.maximum(dot3(a, a), eps)))
+
+
+def fmax3(v: jnp.ndarray) -> jnp.ndarray:
+    """Max component over the last axis (kernels/utils.cl:30)."""
+    return jnp.max(v, axis=-1)
+
+
+def fmin3(v: jnp.ndarray) -> jnp.ndarray:
+    return jnp.min(v, axis=-1)
+
+
+def avg3(v: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(v, axis=-1)
+
+
+def sgn_e(x: jnp.ndarray) -> jnp.ndarray:
+    """Signum excluding zero (kernels/utils.cl:44): sgnE(0) = +1."""
+    return jnp.where(x < 0.0, -1.0, 1.0)
+
+
+def lerp(a, b, w):
+    return a + w * (b - a)
+
+
+# ---------------------------------------------------------------------------
+# Tangent frames -- [Duff et al. 2017] branchless ONB, batched.
+# Mirrors createTangentFrame/toLocal/toGlobal (kernels/header.cl:186-204).
+# ---------------------------------------------------------------------------
+
+def tangent_frame(n: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Return (tangent, bitangent) for unit normal(s) n[..., 3]."""
+    nx, ny, nz = n[..., 0], n[..., 1], n[..., 2]
+    sn = jnp.where(nz >= 0.0, 1.0, -1.0)
+    a = -1.0 / (sn + nz)
+    b = nx * ny * a
+    tangent = jnp.stack([1.0 + sn * nx * nx * a, sn * b, -sn * nx], axis=-1)
+    bitangent = jnp.stack([b, sn + ny * ny * a, -ny], axis=-1)
+    return tangent, bitangent
+
+
+def to_local(n: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """World -> tangent space where n is the local +z."""
+    t, bt = tangent_frame(n)
+    return jnp.stack([dot(t, v), dot(bt, v), dot(n, v)], axis=-1)
+
+
+def to_global(n: jnp.ndarray, v: jnp.ndarray) -> jnp.ndarray:
+    """Tangent -> world."""
+    t, bt = tangent_frame(n)
+    return (
+        t * v[..., 0:1] + bt * v[..., 1:2] + n * v[..., 2:3]
+    )
+
+
+def reflect_local(wi: jnp.ndarray) -> jnp.ndarray:
+    """Mirror about local +z: (-x, -y, z)."""
+    return jnp.stack([-wi[..., 0], -wi[..., 1], wi[..., 2]], axis=-1)
+
+
+def smoothstep(e0, e1, x):
+    t = jnp.clip((x - e0) / (e1 - e0), 0.0, 1.0)
+    return t * t * (3.0 - 2.0 * t)
+
+
+def power_heuristic(pdf0: jnp.ndarray, pdf1: jnp.ndarray) -> jnp.ndarray:
+    """Power heuristic beta=2 (kernels/integrators/base.cl:23-25)."""
+    p0 = pdf0 * pdf0
+    return p0 / jnp.maximum(p0 + pdf1 * pdf1, 1e-30)

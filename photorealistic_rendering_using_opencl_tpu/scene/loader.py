@@ -1,0 +1,286 @@
+"""JSON scene loader -> (SceneConfig, SceneData).
+
+Reproduces the semantics of ``include/Scene/scene.h:134-474``: settings
+block, global medium (sigmas premultiplied by density, scene.h:150-158),
+obj entry with its own material, and spheres/sdfs/boxes/quads arrays in
+canonical order.  The reference's 16-float ``joker`` packing becomes typed
+SoA fields; the compile-time kernel specialization becomes the static
+``SceneConfig`` that jit traces against.
+"""
+from __future__ import annotations
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+
+from photorealistic_rendering_using_opencl_tpu.scene import bvh_build, obj as obj_io
+from photorealistic_rendering_using_opencl_tpu.scene.types import (
+    ABS_REFR, ABS_REFR2, BECKMANN, BK7_ETA, BOX, DIEL, LIGHT, QUAD,
+    ROUGH_DIEL, SceneConfig, SceneData, SDF, SPHERE,
+    default_lobes_for_type, empty_scene_data,
+)
+
+_DEFAULT_MODEL_DIRS = (
+    "resources/models",
+    "/root/reference/resources/models",
+)
+
+
+class _Mat:
+    def __init__(self):
+        self.color = [1.0, 1.0, 1.0]
+        self.eta = list((0.17229, 0.36901, 1.5478))  # Au
+        self.k = list((4.2223, 2.4628, 1.8063))
+        self.roughness = 0.0
+        self.t = 1 << 1  # DIFF
+        self.dist = BECKMANN
+
+
+def _parse_material(doc: dict, mat: _Mat) -> int:
+    """parseMaterial (scene.h:71-131); returns the active-mats bit."""
+    if "color" in doc:
+        mat.color = [float(c) for c in doc["color"][:3]]
+    if "roughness" in doc:
+        mat.roughness = float(doc["roughness"])
+    if "dist" in doc:
+        mat.dist = 1 << int(doc["dist"])
+    if "type" in doc:
+        mat.t = 1 << int(doc["type"])
+        if mat.t & (DIEL | ROUGH_DIEL):
+            mat.eta = list(BK7_ETA)
+            cc = int(doc.get("absorptive", 0))
+            if cc:
+                mat.t |= ABS_REFR if cc == 1 else ABS_REFR2
+    if "eta" in doc:
+        mat.eta = [float(c) for c in doc["eta"][:3]]
+    if "k" in doc:
+        mat.k = [float(c) for c in doc["k"][:3]]
+    return mat.t
+
+
+def find_model(path: str, models_dir: str | None = None) -> str:
+    cands = [path]
+    if models_dir:
+        cands.append(os.path.join(models_dir, path))
+    for d in _DEFAULT_MODEL_DIRS:
+        cands.append(os.path.join(d, path))
+    for c in cands:
+        if os.path.isfile(c):
+            return c
+    raise FileNotFoundError(f"model not found: {path} (searched {cands})")
+
+
+def load_scene(path: str, models_dir: str | None = None,
+               env_map: np.ndarray | None = None,
+               alpha_testing: bool = False,
+               phase_function: str = "isotropic",
+               mesh_override=None):
+    """Load a scene JSON file.
+
+    mesh_override: optional (tri_verts, tri_normals) numpy arrays replacing
+    the OBJ referenced by the file (used by tests to stay asset-free).
+    """
+    with open(path) as fh:
+        doc = json.load(fh)
+    return build_scene(doc, models_dir=models_dir, env_map=env_map,
+                       alpha_testing=alpha_testing,
+                       phase_function=phase_function,
+                       mesh_override=mesh_override)
+
+
+def build_scene(doc: dict, models_dir: str | None = None,
+                env_map: np.ndarray | None = None,
+                alpha_testing: bool = False,
+                phase_function: str = "isotropic",
+                mesh_override=None):
+    settings = doc.get("settings", {})
+    scene_doc = doc.get("scene", {})
+
+    spheres = scene_doc.get("spheres", [])
+    sdfs = scene_doc.get("sdfs", [])
+    boxes = scene_doc.get("boxes", [])
+    quads = scene_doc.get("quads", [])
+    n_obj = len(spheres) + len(sdfs) + len(boxes) + len(quads)
+
+    # ---------------- OBJ mesh + BVH ----------------
+    obj_doc = scene_doc.get("obj")
+    tri_v = tri_n = None
+    obj_mat = _Mat()
+    active_mats = 0
+    if mesh_override is not None:
+        tri_v, tri_n = mesh_override
+    elif obj_doc and "path" in obj_doc:
+        tri_v, tri_n = obj_io.load_obj(find_model(obj_doc["path"], models_dir))
+    if obj_doc and "material" in obj_doc:
+        active_mats |= _parse_material(obj_doc["material"], obj_mat)
+    elif tri_v is not None:
+        active_mats |= obj_mat.t
+
+    n_tris = 0
+    bvh = None
+    if tri_v is not None:
+        bvh = bvh_build.build_bvh(tri_v)
+        tri_v, tri_n = bvh_build.permute_triangles(tri_v, tri_n, bvh)
+        n_tris = bvh.order.shape[0]
+
+    data = empty_scene_data(
+        n_objects=n_obj,
+        n_tris=tri_v.shape[0] if tri_v is not None else 0,
+        n_nodes=bvh.miss.shape[0] if bvh is not None else 0,
+        n_lights=1,
+    )
+
+    color = np.ones((max(n_obj, 1), 3), np.float32)
+    eta = np.tile(np.asarray(_Mat().eta, np.float32), (max(n_obj, 1), 1))
+    kk = np.tile(np.asarray(_Mat().k, np.float32), (max(n_obj, 1), 1))
+    rough = np.zeros(max(n_obj, 1), np.float32)
+    mat_type = np.full(max(n_obj, 1), 1 << 1, np.int32)
+    dist = np.full(max(n_obj, 1), BECKMANN, np.int32)
+    position = np.zeros((max(n_obj, 1), 3), np.float32)
+    params = np.zeros((max(n_obj, 1), 4), np.float32)
+    geom_type = np.zeros(max(n_obj, 1), np.int32)
+    qbase = np.zeros((max(n_obj, 1), 3), np.float32)
+    qe0 = np.zeros((max(n_obj, 1), 3), np.float32)
+    qe1 = np.zeros((max(n_obj, 1), 3), np.float32)
+    qn = np.zeros((max(n_obj, 1), 3), np.float32)
+    qarea = np.zeros(max(n_obj, 1), np.float32)
+
+    idx = 0
+    for s in spheres:
+        geom_type[idx] = SPHERE
+        position[idx] = s.get("pos", [0, 0, 0])[:3]
+        params[idx, 0] = float(s.get("radius", 1.0))
+        m = _Mat()
+        if "material" in s:
+            active_mats |= _parse_material(s["material"], m)
+        _store_mat(idx, m, color, eta, kk, rough, mat_type, dist)
+        idx += 1
+    for s in sdfs:
+        geom_type[idx] = SDF | (1 << int(s.get("type", 4)))
+        position[idx] = s.get("pos", [0, 0, 0])[:3]
+        pr = s.get("params", [])
+        params[idx, :len(pr[:4])] = pr[:4]
+        m = _Mat()
+        if "material" in s:
+            active_mats |= _parse_material(s["material"], m)
+        _store_mat(idx, m, color, eta, kk, rough, mat_type, dist)
+        idx += 1
+    for b in boxes:
+        geom_type[idx] = BOX
+        position[idx] = b.get("pos", [0, 0, 0])[:3]
+        params[idx, :3] = b.get("scale", [1, 1, 1])[:3]
+        m = _Mat()
+        if "material" in b:
+            active_mats |= _parse_material(b["material"], m)
+        _store_mat(idx, m, color, eta, kk, rough, mat_type, dist)
+        idx += 1
+    for q in quads:
+        geom_type[idx] = QUAD
+        v = [float(x) for x in q["vertices"]]
+        base = np.asarray(v[0:3], np.float32)
+        e0 = np.asarray(v[3:6], np.float32)
+        e1 = np.asarray(v[6:9], np.float32)
+        nrm = np.cross(e0, e1)
+        area = float(np.sum(nrm * nrm))  # scene.h:449 stores |cross|^2... see below
+        # NB scene.h:449 stores normal.lengthsq3() as the area -- for a
+        # parallelogram the true area is |e0 x e1|; the squared value is a
+        # reference bug only when |cross| != 1.  We store the true area.
+        area = float(np.sqrt(max(area, 1e-20)))
+        nlen = np.linalg.norm(nrm)
+        nrm = nrm / max(nlen, 1e-20)
+        qbase[idx], qe0[idx], qe1[idx], qn[idx], qarea[idx] = base, e0, e1, nrm, area
+        position[idx] = base
+        m = _Mat()
+        if "material" in q:
+            active_mats |= _parse_material(q["material"], m)
+        _store_mat(idx, m, color, eta, kk, rough, mat_type, dist)
+        idx += 1
+
+    # ---------------- lights (scene.h getLights) ----------------
+    light_indices = [i for i in range(n_obj) if mat_type[i] & LIGHT]
+
+    # ---------------- global medium ----------------
+    gm = doc.get("global_medium")
+    has_medium = gm is not None
+    sigma_a = np.zeros(3, np.float32)
+    sigma_s = np.zeros(3, np.float32)
+    if has_medium:
+        density = float(gm.get("density", 0.1))
+        sigma_a[:] = density * float(gm.get("sigmaA", 0.2))
+        sigma_s[:] = density * float(gm.get("sigmaS", 1.0))
+    sigma_t = sigma_a + sigma_s
+    absorption_only = has_medium and float(sigma_s.max()) == 0.0
+
+    cfg = SceneConfig(
+        n_spheres=len(spheres), n_sdfs=len(sdfs), n_boxes=len(boxes),
+        n_quads=len(quads),
+        n_triangles=int(bvh.order.shape[0]) if bvh is not None else 0,
+        n_bvh_nodes=int(bvh.miss.shape[0]) if bvh is not None else 0,
+        n_lights=len(light_indices),
+        max_bounces=int(settings.get("MAX_BOUNCES", 12)),
+        max_diff_bounces=int(settings.get("MAX_DIFF_BOUNCES", 4)),
+        max_spec_bounces=int(settings.get("MAX_SPEC_BOUNCES", 4)),
+        max_trans_bounces=int(settings.get("MAX_TRANS_BOUNCES", 12)),
+        max_scattering_events=int(settings.get("MAX_SCATTERING_EVENTS", 12)),
+        marching_steps=int(settings.get("MARCHING_STEPS", 128)),
+        shadow_marching_steps=int(settings.get("SHADOW_MARCHING_STEPS", 64)),
+        has_global_medium=has_medium,
+        medium_absorption_only=absorption_only,
+        phase_function=phase_function,
+        active_mats=int(active_mats),
+        alpha_testing=alpha_testing,
+        has_env_map=env_map is not None,
+    )
+
+    data.color = jnp.asarray(color)
+    data.eta = jnp.asarray(eta)
+    data.k = jnp.asarray(kk)
+    data.roughness = jnp.asarray(rough)
+    data.mat_type = jnp.asarray(mat_type)
+    data.lobes = jnp.asarray(
+        np.asarray([default_lobes_for_type(int(t)) for t in mat_type], np.int32))
+    data.dist = jnp.asarray(dist)
+    data.position = jnp.asarray(position)
+    data.params = jnp.asarray(params)
+    data.geom_type = jnp.asarray(geom_type)
+    data.quad_base = jnp.asarray(qbase)
+    data.quad_edge0 = jnp.asarray(qe0)
+    data.quad_edge1 = jnp.asarray(qe1)
+    data.quad_normal = jnp.asarray(qn)
+    data.quad_area = jnp.asarray(qarea)
+    data.light_indices = jnp.asarray(
+        np.asarray(light_indices or [0], np.int32))
+
+    if bvh is not None:
+        data.tri_verts = jnp.asarray(tri_v)
+        data.tri_normals = jnp.asarray(tri_n)
+        data.bvh_bounds_min = jnp.asarray(bvh.bounds_min)
+        data.bvh_bounds_max = jnp.asarray(bvh.bounds_max)
+        data.bvh_miss = jnp.asarray(bvh.miss)
+        data.bvh_first_prim = jnp.asarray(bvh.first_prim)
+        data.bvh_prim_count = jnp.asarray(bvh.prim_count)
+        data.obj_color = jnp.asarray(obj_mat.color, jnp.float32)
+        data.obj_eta = jnp.asarray(obj_mat.eta, jnp.float32)
+        data.obj_k = jnp.asarray(obj_mat.k, jnp.float32)
+        data.obj_roughness = jnp.asarray(obj_mat.roughness, jnp.float32)
+        data.obj_mat_type = jnp.asarray(obj_mat.t, jnp.int32)
+        data.obj_lobes = jnp.asarray(default_lobes_for_type(obj_mat.t), jnp.int32)
+        data.obj_dist = jnp.asarray(obj_mat.dist, jnp.int32)
+
+    data.medium_sigma_a = jnp.asarray(sigma_a)
+    data.medium_sigma_s = jnp.asarray(sigma_s)
+    data.medium_sigma_t = jnp.asarray(sigma_t)
+    if env_map is not None:
+        data.env_map = jnp.asarray(env_map, jnp.float32)
+    return cfg, data
+
+
+def _store_mat(i, m: _Mat, color, eta, k, rough, mat_type, dist):
+    color[i] = m.color
+    eta[i] = m.eta
+    k[i] = m.k
+    rough[i] = m.roughness
+    mat_type[i] = m.t
+    dist[i] = m.dist
