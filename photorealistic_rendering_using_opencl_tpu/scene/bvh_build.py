@@ -30,7 +30,21 @@ class FlatBVH(NamedTuple):
 
 
 def build_bvh(tri_verts: np.ndarray) -> FlatBVH:
-    """tri_verts [T,3,3] -> flat threaded BVH (sweep SAH, leaf<=LEAF_SIZE)."""
+    """tri_verts [T,3,3] -> flat threaded BVH (sweep SAH, leaf<=LEAF_SIZE).
+
+    Dispatches to the native C++ builder (runtime/csrc/prt_native.cpp) when
+    available; set PRT_NO_NATIVE=1 to force this Python implementation.
+    """
+    from photorealistic_rendering_using_opencl_tpu.runtime import native
+    res = native.build_bvh_native(tri_verts)
+    if res is not None:
+        bmin, bmax, miss, first, count, order = res
+        return FlatBVH(bmin, bmax, miss, first, count, order)
+    return build_bvh_py(tri_verts)
+
+
+def build_bvh_py(tri_verts: np.ndarray) -> FlatBVH:
+    """Pure-numpy reference implementation of the sweep-SAH build."""
     t = tri_verts.shape[0]
     lo = tri_verts.min(axis=1)  # [T,3]
     hi = tri_verts.max(axis=1)

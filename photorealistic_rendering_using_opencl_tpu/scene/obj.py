@@ -13,7 +13,20 @@ import numpy as np
 
 
 def load_obj(path: str):
-    """Returns (verts[T,3,3], normals[T,3,3]) float32 triangle soup."""
+    """Returns (verts[T,3,3], normals[T,3,3]) float32 triangle soup.
+
+    Uses the native C++ importer (runtime/csrc/prt_native.cpp) when
+    available; set PRT_NO_NATIVE=1 to force this Python implementation.
+    """
+    from photorealistic_rendering_using_opencl_tpu.runtime import native
+    res = native.load_obj_native(path)
+    if res is not None:
+        return res
+    return load_obj_py(path)
+
+
+def load_obj_py(path: str):
+    """Pure-Python reference implementation of the OBJ importer."""
     positions: list[list[float]] = []
     vnormals: list[list[float]] = []
     faces: list[tuple] = []  # ((vi, ni), (vi, ni), (vi, ni))
