@@ -152,9 +152,12 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
             vis = shadow_visible(cfg, scene, ms.p, rec.d, rec.dist)
             trans = _medium_transmittance(cfg, scene, rec.dist)
             light_col = scene.color[li]
+            # invalid lanes carry pdf=0; substitute 1 so the division's
+            # partial stays finite (result is where-gated by do_nee anyway)
+            pdf_safe = jnp.where(rec.valid, jnp.maximum(rec.pdf, 1e-12), 1.0)
             contrib = (light_col * trans * f_ph[..., None]
                        * (power_heuristic(rec.pdf, p_pdf(state.direction, rec.d, g))
-                          / jnp.maximum(rec.pdf, 1e-20))[..., None]) / pick_pdf
+                          / pdf_safe)[..., None]) / pick_pdf
             acc = acc + jnp.where((do_nee & vis)[..., None],
                                   mask * contrib, 0.0)
 
@@ -217,8 +220,9 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
         contrib = light_col * f
         if cfg.has_global_medium:
             contrib = contrib * _medium_transmittance(cfg, scene, rec.dist)
+        pdf_safe = jnp.where(rec.valid, jnp.maximum(rec.pdf, 1e-12), 1.0)
         contrib = contrib * (power_heuristic(rec.pdf, b_pdf)
-                             / jnp.maximum(rec.pdf, 1e-20))[..., None]
+                             / pdf_safe)[..., None]
         contrib = contrib / pick_pdf
         take = nee_ok & nonzero & vis
         acc = acc + jnp.where(take[..., None], mask * contrib, 0.0)
@@ -250,7 +254,9 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
 
     # ---------------- russian roulette (pathtracing.cl:97-106) ------------
     u_rr = sampler.next1d()
-    roulette_pdf = fmax3(mask)
+    # survival probability is a discrete decision: detached so the 1/pdf
+    # reweighting doesn't cancel the throughput gradient it multiplies
+    roulette_pdf = jax.lax.stop_gradient(fmax3(mask))
     do_rr = (state.n_total > 2) & (roulette_pdf < 0.1) & shade
     rr_survive = u_rr < roulette_pdf
     mask = jnp.where((do_rr & rr_survive)[..., None],
@@ -267,6 +273,33 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
     alive = (alive & ~missed & ~is_light & ~bsdf_dead & ~rr_dead
              & ~(surface & over_budget))
     return state._replace(mask=mask, acc=acc, alpha=alpha, alive=alive)
+
+
+@jax.custom_vjp
+def _sanitize_grad(x):
+    """Identity whose VJP replaces non-finite cotangents with zero.
+
+    The bounce scan's transpose evaluates every op's partial derivative on
+    every lane, including masked-out (dead) lanes whose primal values are
+    arbitrary; a 0-cotangent times an overflowing partial yields NaN that
+    then poisons the whole parameter gradient.  Where-gating makes the
+    *true* cotangent of those lanes exactly zero, so zeroing non-finite
+    entries recovers the correct gradient (validated against finite
+    differences in tests/test_grad.py)."""
+    return x
+
+
+def _sanitize_fwd(x):
+    return x, None
+
+
+def _sanitize_bwd(_, g):
+    return (jax.tree_util.tree_map(
+        lambda t: jnp.nan_to_num(t, nan=0.0, posinf=0.0, neginf=0.0)
+        if jnp.issubdtype(t.dtype, jnp.floating) else t, g),)
+
+
+_sanitize_grad.defvjp(_sanitize_fwd, _sanitize_bwd)
 
 
 def n_steps_for(cfg: SceneConfig, scatter_cap: int = 16) -> int:
@@ -290,7 +323,7 @@ def trace(cfg: SceneConfig, scene: SceneData, origin, direction,
                           scheme=rng_scheme,
                           dim=CAMERA_DIMS + bounce * DIMS_PER_BOUNCE)
         state = bounce_step(cfg, scene, state, sampler, bounce)
-        return state, None
+        return _sanitize_grad(state), None
 
     state, _ = jax.lax.scan(body, state, jnp.arange(n_steps, dtype=jnp.int32))
     return state.acc, state.alpha

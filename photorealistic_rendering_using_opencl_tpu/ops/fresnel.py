@@ -8,6 +8,8 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
+from photorealistic_rendering_using_opencl_tpu.ops.math import safe_sqrt
+
 
 def conductor_reflectance(eta: jnp.ndarray, k: jnp.ndarray,
                           cos_theta_i: jnp.ndarray) -> jnp.ndarray:
@@ -21,8 +23,8 @@ def conductor_reflectance(eta: jnp.ndarray, k: jnp.ndarray,
     sin2 = jnp.maximum(1.0 - c2, 0.0)
     sin4 = sin2 * sin2
     inner = eta * eta - k * k - sin2
-    a2b2 = jnp.sqrt(jnp.maximum(inner * inner + 4.0 * eta * eta * k * k, 0.0))
-    a = jnp.sqrt(jnp.maximum((a2b2 + inner) * 0.5, 0.0))
+    a2b2 = safe_sqrt(inner * inner + 4.0 * eta * eta * k * k)
+    a = safe_sqrt((a2b2 + inner) * 0.5)
     rs = ((a2b2 + c2) - 2.0 * a * c) / jnp.maximum((a2b2 + c2) + 2.0 * a * c, 1e-30)
     rp_num = (c2 * a2b2 + sin4) - 2.0 * a * c * sin2
     rp_den = (c2 * a2b2 + sin4) + 2.0 * a * c * sin2
@@ -49,7 +51,7 @@ def dielectric_reflectance(eta: jnp.ndarray, cos_theta_i: jnp.ndarray):
     ci = jnp.abs(cos_theta_i)
     sin2t = eta_eff * eta_eff * jnp.maximum(1.0 - ci * ci, 0.0)
     tir = sin2t > 1.0
-    ct = jnp.sqrt(jnp.maximum(1.0 - sin2t, 0.0))
+    ct = safe_sqrt(1.0 - sin2t)
     rs = (eta_eff * ci - ct) / jnp.maximum(eta_eff * ci + ct, 1e-30)
     rp = (eta_eff * ct - ci) / jnp.maximum(eta_eff * ct + ci, 1e-30)
     f = 0.5 * (rs * rs + rp * rp)

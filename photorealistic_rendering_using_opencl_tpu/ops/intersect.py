@@ -51,7 +51,10 @@ def sphere_hits(origin, direction, centers, radii):
     b = jnp.sum(p * direction[:, None, :], axis=-1)
     c = jnp.sum(p * p, axis=-1) - radii[None, :] ** 2
     det_sq = b * b - c
-    det = jnp.sqrt(jnp.maximum(det_sq, 0.0))
+    # double-where: sqrt'(0) = inf would NaN the backward pass for misses
+    miss = det_sq < EPS * EPS
+    det = jnp.sqrt(jnp.where(miss, 1.0, det_sq))
+    det = jnp.where(miss, 0.0, det)
     t0 = -b - det
     t1 = -b + det
     t = jnp.where(t0 > EPS, t0, jnp.where(t1 > EPS, t1, jnp.inf))
@@ -148,7 +151,12 @@ def sdf_map(pos, centers, geom_type, params):
 
 def sdf_march(origin, direction, t_limit, centers, geom_type, params,
               steps: int):
-    """Sphere tracing (sdf.cl:103-118): returns (t[N], obj[N], hit[N])."""
+    """Sphere tracing (sdf.cl:103-118): returns (t[N], obj[N], hit[N]).
+
+    Fully detached (while_loop); reattach derivatives with sdf_reattach.
+    """
+    origin, direction, t_limit, centers, params = jax.lax.stop_gradient(
+        (origin, direction, t_limit, centers, params))
 
     def body(carry):
         i, t, done = carry
@@ -220,7 +228,16 @@ def bvh_traverse(scene: SceneData, origin, direction, t_init):
     (``miss``) threading: hit+inner -> node+1, else -> miss[node].  Every
     ray in the batch advances one node per iteration of a single
     ``lax.while_loop`` -- uniform control flow, VPU-wide.
+
+    All inputs are detached (``lax.while_loop`` has no transpose rule); the
+    caller reattaches derivatives by recomputing the hit against the
+    selected triangle (``tri_reattach``), the standard detached-traversal
+    VJP of SURVEY §7 stage 9.
     """
+    origin = jax.lax.stop_gradient(origin)
+    direction = jax.lax.stop_gradient(direction)
+    t_init = jax.lax.stop_gradient(t_init)
+    scene = jax.lax.stop_gradient(scene)
     n_nodes = scene.bvh_miss.shape[0]
     nray = origin.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(direction) < 1e-12,
@@ -274,6 +291,51 @@ def bvh_traverse(scene: SceneData, origin, direction, t_init):
     return t, tri, u, v
 
 
+def tri_reattach(scene: SceneData, tri, origin, direction):
+    """Differentiable (t, u, v) for an already-selected triangle.
+
+    The traversal above runs fully detached; given its chosen primitive
+    index, the Moller-Trumbore quantities are recomputed here so gradients
+    flow from the hit into ray origin/direction and the mesh vertices --
+    first-order exact at the solution.
+    """
+    tv = scene.tri_verts[jnp.maximum(tri, 0)]  # [N,3,3]
+    p0, p1, p2 = tv[:, 0], tv[:, 1], tv[:, 2]
+    e1 = p0 - p1
+    e2 = p2 - p0
+    n = jnp.cross(e1, e2)
+    c = p0 - origin
+    r = jnp.cross(direction, c)
+    den = jnp.sum(n * direction, axis=-1)
+    inv_det = 1.0 / jnp.where(jnp.abs(den) < 1e-20,
+                              jnp.copysign(1e-20, den), den)
+    u = jnp.sum(r * e2, axis=-1) * inv_det
+    v = jnp.sum(r * e1, axis=-1) * inv_det
+    t = jnp.sum(n * c, axis=-1) * inv_det
+    return t, u, v
+
+
+def sdf_reattach(origin, direction, t_det, centers, geom_type, params,
+                 obj_idx):
+    """Differentiable sphere-tracing distance by one-step Newton.
+
+    With f(t) = sdf(o + t*d) and the detached root t_det, the implicit
+    function theorem gives dt = -df / <grad f, d>; evaluating
+    t_det - f(o + t_det*d) / stop(<grad f, d>) reproduces t_det in the
+    primal (f ~ 0 at the root) and carries the exact first-order
+    derivative w.r.t. ray and SDF parameters.
+    """
+    c = centers[obj_idx]
+    gt = geom_type[obj_idx]
+    pr = params[obj_idx]
+    pos = origin + direction * t_det[..., None]
+    f = sd_primitive(gt, pos - c, pr)
+    g = sdf_normal(pos, centers, geom_type, params, obj_idx)
+    dfdt = jax.lax.stop_gradient(jnp.sum(g * direction, axis=-1))
+    dfdt = jnp.where(jnp.abs(dfdt) < 1e-4, jnp.copysign(1e-4, dfdt), dfdt)
+    return t_det - f / dfdt
+
+
 def bvh_smooth_normal(scene: SceneData, tri, u, v):
     """Barycentric vertex-normal interpolation (triangle.cl:29-37)."""
     tn = scene.tri_normals[jnp.maximum(tri, 0)]  # [N,3,3]
@@ -303,8 +365,10 @@ def intersect_scene(cfg: SceneConfig, scene: SceneData, origin, direction
     q0, q1 = b1, b1 + cfg.n_quads
 
     if cfg.has_mesh:
-        tm, tri, u, v = bvh_traverse(scene, origin, direction, t)
+        _, tri, _, _ = bvh_traverse(scene, origin, direction, t)
         hit_m = tri >= 0
+        # reattach gradients through the selected triangle (detached walk)
+        tm, u, v = tri_reattach(scene, tri, origin, direction)
         nm = normalize(bvh_smooth_normal(scene, tri, u, v))
         t = jnp.where(hit_m, tm, t)
         mesh_id = jnp.where(hit_m, cfg.n_objects, mesh_id)
@@ -329,6 +393,8 @@ def intersect_scene(cfg: SceneConfig, scene: SceneData, origin, direction
                                      scene.params[d0:d1],
                                      cfg.marching_steps)
         better = hit_s & (tsdf < t)
+        tsdf = sdf_reattach(origin, direction, tsdf, scene.position[d0:d1],
+                            scene.geom_type[d0:d1], scene.params[d0:d1], obj)
         t = jnp.where(better, tsdf, t)
         mesh_id = jnp.where(better, d0 + obj, mesh_id)
         pos = origin + direction * t[..., None]

@@ -13,7 +13,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from photorealistic_rendering_using_opencl_tpu.ops.math import normalize, to_global
+from photorealistic_rendering_using_opencl_tpu.ops.math import normalize, safe_sqrt, to_global
 from photorealistic_rendering_using_opencl_tpu.ops.sampling import (
     uniform_spherical_cap, uniform_spherical_cap_pdf,
 )
@@ -37,11 +37,11 @@ def sphere_sample_direct(center, radius, p, u1, u2) -> LightSample:
     c = d2 - radius * radius
     valid = c > 0.0
     ldir = ell / d[..., None]
-    cos_theta_max = jnp.sqrt(jnp.maximum(c, 0.0)) / d
+    cos_theta_max = safe_sqrt(c) / d
     cap = uniform_spherical_cap(u1, u2, cos_theta_max)
     w = to_global(ldir, cap)
     b = d * cap[..., 2]
-    det = jnp.sqrt(jnp.maximum(b * b - c, 0.0))
+    det = safe_sqrt(b * b - c)
     dist = b - det
     pdf = uniform_spherical_cap_pdf(cos_theta_max)
     return LightSample(w, dist, pdf, valid)
@@ -51,7 +51,7 @@ def sphere_direct_pdf(center, radius, p, direction=None):
     ell = center - p
     d2 = jnp.sum(ell * ell, axis=-1)
     d = jnp.sqrt(jnp.maximum(d2, 1e-20))
-    cos_theta_max = jnp.sqrt(jnp.maximum(d2 - radius * radius, 0.0)) / d
+    cos_theta_max = safe_sqrt(d2 - radius * radius) / d
     return uniform_spherical_cap_pdf(cos_theta_max)
 
 

@@ -40,8 +40,20 @@ def length(a: jnp.ndarray) -> jnp.ndarray:
     return jnp.sqrt(jnp.maximum(dot(a, a), 0.0))
 
 
-def normalize(a: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
+def normalize(a: jnp.ndarray, eps: float = 1e-12) -> jnp.ndarray:
+    # eps floor keeps the rsqrt partial finite in f32 for ~zero vectors on
+    # masked-out lanes (0-cotangent x inf-partial = NaN in scan transpose)
     return a * jnp.reciprocal(jnp.sqrt(jnp.maximum(dot3(a, a), eps)))
+
+
+def safe_sqrt(x: jnp.ndarray) -> jnp.ndarray:
+    """sqrt clamped at zero with a NaN-free backward pass.
+
+    d/dx sqrt(max(x, 0)) at x <= 0 evaluates inf * 0 = NaN in reverse mode;
+    the double-where makes the gradient exactly 0 there instead.
+    """
+    neg = x <= 0.0
+    return jnp.where(neg, 0.0, jnp.sqrt(jnp.where(neg, 1.0, x)))
 
 
 def fmax3(v: jnp.ndarray) -> jnp.ndarray:
@@ -107,6 +119,12 @@ def smoothstep(e0, e1, x):
 
 
 def power_heuristic(pdf0: jnp.ndarray, pdf1: jnp.ndarray) -> jnp.ndarray:
-    """Power heuristic beta=2 (kernels/integrators/base.cl:23-25)."""
+    """Power heuristic beta=2 (kernels/integrators/base.cl:23-25).
+
+    Double-where guard: with both pdfs ~0 (masked-out lanes) the quotient's
+    partial derivative overflows f32 and NaNs the backward pass.
+    """
     p0 = pdf0 * pdf0
-    return p0 / jnp.maximum(p0 + pdf1 * pdf1, 1e-30)
+    denom = p0 + pdf1 * pdf1
+    tiny = denom < 1e-12
+    return jnp.where(tiny, 0.0, p0 / jnp.where(tiny, 1.0, denom))

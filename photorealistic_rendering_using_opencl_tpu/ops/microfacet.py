@@ -9,7 +9,7 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from photorealistic_rendering_using_opencl_tpu.ops.math import INV_PI, INV_TWO_PI, TWO_PI
+from photorealistic_rendering_using_opencl_tpu.ops.math import INV_PI, INV_TWO_PI, TWO_PI, safe_sqrt
 from photorealistic_rendering_using_opencl_tpu.scene.types import BECKMANN, GGX, PHONG
 
 
@@ -39,7 +39,7 @@ def G1(dist: jnp.ndarray, alpha: jnp.ndarray, v: jnp.ndarray,
     vz = v[..., 2]
     back = jnp.sum(v * m, axis=-1) * vz <= 0.0
     c2 = vz * vz
-    tan_theta = jnp.abs(jnp.sqrt(jnp.maximum(1.0 - c2, 0.0)) / jnp.where(vz == 0.0, 1e-12, vz))
+    tan_theta = jnp.abs(safe_sqrt(1.0 - c2) / jnp.where(vz == 0.0, 1e-12, vz))
     tan_theta = jnp.maximum(tan_theta, 1e-12)
 
     def _smith_rational(a):
@@ -75,5 +75,5 @@ def sample(dist: jnp.ndarray, alpha: jnp.ndarray, u1: jnp.ndarray,
     ggx_c = 1.0 / jnp.sqrt(1.0 + ggx_t2)
     cos_theta = jnp.where((dist & BECKMANN) != 0, beck_c,
                           jnp.where((dist & PHONG) != 0, phong_c, ggx_c))
-    r = jnp.sqrt(jnp.maximum(1.0 - cos_theta * cos_theta, 0.0))
+    r = safe_sqrt(1.0 - cos_theta * cos_theta)
     return jnp.stack([jnp.cos(phi) * r, jnp.sin(phi) * r, cos_theta], axis=-1)

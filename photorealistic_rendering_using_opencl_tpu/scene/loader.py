@@ -24,6 +24,7 @@ from photorealistic_rendering_using_opencl_tpu.scene.types import (
 
 _DEFAULT_MODEL_DIRS = (
     "resources/models",
+    "scenes/assets",
     "/root/reference/resources/models",
 )
 

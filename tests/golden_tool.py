@@ -1,0 +1,67 @@
+"""Generate golden renders for the regression test (run from repo root):
+
+    python tests/golden_tool.py            # writes tests/golden/*.npz
+
+Configs are tiny (CPU-friendly) but exercise every geometry/material/media
+path: analytic cornell, SDF+box mix, scattering media, BVH mesh, env map.
+Regenerate ONLY when an intentional estimator change is made, and say so in
+the commit message.
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+
+CONFIGS = {
+    "cornell_simple": dict(scene="scenes/cornell_simple.json", spp=8),
+    "cornell_media": dict(scene="scenes/cornell_media.json", spp=4),
+    "sdf_demo": dict(scene="scenes/sdf_demo.json", spp=4),
+    "mesh_icosphere": dict(scene="scenes/cornell_simple.json", spp=4,
+                           mesh=True),
+    "envmap": dict(scene="scenes/cornell_simple.json", spp=4, env=True),
+}
+SIZE = 32
+SEED = 9
+
+
+def render_config(name: str):
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+    from photorealistic_rendering_using_opencl_tpu.models import pathtracer
+    from photorealistic_rendering_using_opencl_tpu.ops.camera_rays import default_camera
+    from photorealistic_rendering_using_opencl_tpu.scene.loader import load_scene
+    from photorealistic_rendering_using_opencl_tpu.scene.obj import make_icosphere
+
+    c = CONFIGS[name]
+    kwargs = {}
+    if c.get("mesh"):
+        kwargs["mesh_override"] = make_icosphere(
+            subdiv=1, radius=0.7, center=(0.0, 0.8, 0.0))
+    if c.get("env"):
+        u = np.linspace(0.0, 1.0, 16, dtype=np.float32)
+        gx, gy = np.meshgrid(u, u[:8], indexing="xy")
+        env = np.stack([gx, gy, np.full((8, 16), 0.5, np.float32)],
+                       axis=-1).astype(np.float32)
+        kwargs["env_map"] = env
+    cfg, scene = load_scene(c["scene"], **kwargs)
+    cam = default_camera(SIZE, SIZE).pytree()
+    img, alpha = pathtracer.render(cfg, scene, cam, SIZE, SIZE, c["spp"],
+                                   seed=SEED)
+    return np.asarray(img), np.asarray(alpha)
+
+
+def main():
+    os.makedirs(GOLDEN_DIR, exist_ok=True)
+    for name in CONFIGS:
+        img, alpha = render_config(name)
+        path = os.path.join(GOLDEN_DIR, f"{name}.npz")
+        np.savez_compressed(path, img=img, alpha=alpha)
+        print(f"{name}: mean={img.mean():.5f} max={img.max():.3f} -> {path}")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

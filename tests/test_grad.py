@@ -1,0 +1,202 @@
+"""Gradient correctness: AD vs central finite differences (BASELINE metric).
+
+Same-seed MC estimators are deterministic functions of their parameters
+(counter-based RNG, ops/rng.py), so AD of the estimator must match FD of
+the estimator wherever no discrete decision flips.  Target: max abs err
+< 1e-3 (BASELINE north star), checked for material color, light emission,
+camera position, env map, and medium sigmas; mesh (detached-traversal
+reattachment) and SDF (implicit-differentiation reattachment) hit
+distances get dedicated checks.
+"""
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from photorealistic_rendering_using_opencl_tpu.diff import check_gradients
+from photorealistic_rendering_using_opencl_tpu.models import pathtracer
+from photorealistic_rendering_using_opencl_tpu.ops.camera_rays import default_camera
+from photorealistic_rendering_using_opencl_tpu.ops import intersect
+from photorealistic_rendering_using_opencl_tpu.scene.loader import build_scene
+from photorealistic_rendering_using_opencl_tpu.scene.obj import make_icosphere
+
+W = H = 8
+SPP = 4
+
+CORNELL = {
+    "settings": {"MAX_BOUNCES": 3, "MAX_DIFF_BOUNCES": 3,
+                 "MAX_SPEC_BOUNCES": 3, "MAX_TRANS_BOUNCES": 3},
+    "scene": {
+        "spheres": [{"pos": [0.0, 3.0, 0.0], "radius": 0.5,
+                     "material": {"color": [5.0, 5.0, 5.0], "type": 0}}],
+        "quads": [
+            {"vertices": [0.0, 0.0, 0.0, 4.0, 0.0, 0.0, 0.0, 0.0, 4.0],
+             "material": {"color": [0.7, 0.7, 0.7]}},
+            {"vertices": [2.0, 2.0, 0.0, 0.0, 4.0, 0.0, 0.0, 0.0, 4.0],
+             "material": {"color": [0.8, 0.1, 0.1]}},
+        ],
+    },
+}
+
+
+def _mean_radiance(cfg, scene, cam, seed=3):
+    img, _ = pathtracer.render(cfg, scene, cam, W, H, SPP, seed=seed)
+    return jnp.mean(img)
+
+
+def test_material_color_grad_vs_fd():
+    cfg, scene = build_scene(CORNELL)
+    cam = default_camera(W, H).pytree()
+
+    f = jax.jit(lambda color: _mean_radiance(
+        cfg, dataclasses.replace(scene, color=color), cam))
+    rep = check_gradients(f, scene.color, eps=2e-3)
+    assert np.isfinite(np.asarray(rep.ad)).all()
+    # light emission rows + wall albedo rows all participate
+    assert np.abs(np.asarray(rep.ad)).max() > 1e-4
+    assert rep.max_abs_err < 1e-3, rep.max_abs_err
+
+
+def test_camera_position_grad_vs_fd():
+    """Edge-free scene (floor fills the view, constant env light): FD of the
+    same-seed estimator must match AD tightly.  Visibility silhouettes are
+    non-differentiable by design (detached sampling, SURVEY §7 stage 9), so
+    edge-crossing configs are excluded here and covered by the finite-grad
+    check in test_mesh_scene_grads_finite_and_match_fd."""
+    doc = {"settings": {"MAX_BOUNCES": 2},
+           "scene": {"quads": [
+               {"vertices": [0.0, -0.5, 0.0, 40.0, 0.0, 0.0, 0.0, 0.0, 40.0],
+                "material": {"color": [0.6, 0.5, 0.4]}}]},
+           # absorption medium: radiance depends smoothly on hit distance,
+           # so camera position has a nonzero edge-free gradient
+           "global_medium": {"density": 0.4, "sigmaA": 0.5, "sigmaS": 0.0}}
+    env = np.full((4, 8, 3), 1.0, np.float32)
+    cfg, scene = build_scene(doc, env_map=env)
+    cam = default_camera(W, H).pytree()
+
+    def f(pos):
+        c = dict(cam)
+        c["position"] = pos
+        return _mean_radiance(cfg, scene, c)
+
+    rep = check_gradients(jax.jit(f), cam["position"], eps=1e-3)
+    assert np.isfinite(np.asarray(rep.ad)).all()
+    assert np.abs(np.asarray(rep.ad)).max() > 1e-4
+    assert rep.max_abs_err < 1e-3, rep.max_abs_err
+
+    # full cornell: gradient exists and is finite (edges make FD unusable)
+    cfg2, scene2 = build_scene(CORNELL)
+    g = jax.jit(jax.grad(lambda p: _mean_radiance(
+        cfg2, scene2, {**cam, "position": p})))(cam["position"])
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_medium_sigma_grad_vs_fd():
+    """Absorption-only medium: transmittance exp(-sigma*t) is smooth in
+    sigma, so FD matches AD tightly.  (With scattering the *sampled
+    distance* branches discretely per path; that path is checked for
+    finiteness below.)"""
+    doc = dict(CORNELL)
+    doc["global_medium"] = {"density": 0.5, "sigmaA": 0.3, "sigmaS": 0.0}
+    cfg, scene = build_scene(doc)
+    assert cfg.medium_absorption_only
+    cam = default_camera(W, H).pytree()
+
+    def f(sig_a):
+        s = dataclasses.replace(scene, medium_sigma_a=sig_a,
+                                medium_sigma_t=sig_a + scene.medium_sigma_s)
+        return _mean_radiance(cfg, s, cam)
+
+    rep = check_gradients(jax.jit(f), scene.medium_sigma_a, eps=1e-3)
+    assert np.isfinite(np.asarray(rep.ad)).all()
+    assert np.abs(np.asarray(rep.ad)).max() > 1e-4
+    assert rep.max_abs_err < 1e-3, rep.max_abs_err
+
+    # scattering medium: gradient is finite (FD unusable across the
+    # discrete scatter-vs-exit branch of single paths)
+    doc2 = dict(CORNELL)
+    doc2["global_medium"] = {"density": 0.5, "sigmaA": 0.2, "sigmaS": 0.4}
+    cfg2, scene2 = build_scene(doc2)
+    g = jax.jit(jax.grad(lambda s: _mean_radiance(
+        cfg2, dataclasses.replace(scene2, medium_sigma_s=s,
+                                  medium_sigma_t=s + scene2.medium_sigma_a),
+        cam)))(scene2.medium_sigma_s)
+    assert np.isfinite(np.asarray(g)).all()
+
+
+def test_envmap_grad_vs_fd():
+    doc = {"settings": {"MAX_BOUNCES": 2},
+           "scene": {"quads": [
+               {"vertices": [0.0, -1.0, 0.0, 4.0, 0.0, 0.0, 0.0, 0.0, 4.0],
+                "material": {"color": [0.6, 0.6, 0.6]}}]}}
+    env = np.full((4, 8, 3), 0.5, np.float32)
+    cfg, scene = build_scene(doc, env_map=env)
+    cam = default_camera(W, H).pytree()
+
+    f = jax.jit(lambda em: _mean_radiance(
+        cfg, dataclasses.replace(scene, env_map=em), cam))
+    rep = check_gradients(f, scene.env_map, eps=2e-3, max_coords=24)
+    assert np.abs(np.asarray(rep.ad)).max() > 1e-5
+    assert rep.max_abs_err < 1e-3, rep.max_abs_err
+
+
+def test_mesh_scene_grads_finite_and_match_fd():
+    """Detached BVH walk + triangle reattachment: obj color AND camera."""
+    mesh = make_icosphere(subdiv=1, radius=0.8, center=(0.0, 1.0, 0.0))
+    cfg, scene = build_scene(CORNELL, mesh_override=mesh)
+    cam = default_camera(W, H).pytree()
+
+    f = jax.jit(lambda c: _mean_radiance(
+        cfg, dataclasses.replace(scene, obj_color=c), cam))
+    rep = check_gradients(f, scene.obj_color, eps=2e-3)
+    assert np.abs(np.asarray(rep.ad)).max() > 1e-4
+    assert rep.max_abs_err < 1e-3, rep.max_abs_err
+
+    def g(pos):
+        c = dict(cam)
+        c["position"] = pos
+        return _mean_radiance(cfg, scene, c)
+
+    grad = jax.jit(jax.grad(g))(cam["position"])
+    assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_sdf_reattach_matches_analytic():
+    """Implicit-diff hit distance of an SDF sphere == analytic derivative."""
+    centers = jnp.array([[0.0, 0.0, 0.0]])
+    geom_type = jnp.array([intersect.SDF_SPHERE], jnp.int32)
+
+    def t_of_radius(r):
+        params = jnp.stack([jnp.stack([r, 0.0 * r, 0.0 * r, 0.0 * r])])
+        o = jnp.array([[0.0, 0.0, -3.0]])
+        d = jnp.array([[0.0, 0.0, 1.0]])
+        t_det, obj, hit = intersect.sdf_march(
+            o, d, jnp.array([10.0]), centers, geom_type, params, 256)
+        t = intersect.sdf_reattach(o, d, t_det, centers, geom_type, params,
+                                   obj)
+        return t[0]
+
+    r0 = jnp.array(1.0, jnp.float32)
+    # hit at t = 3 - r; dt/dr = -1 exactly
+    assert abs(float(t_of_radius(r0)) - 2.0) < 1e-3
+    assert abs(float(jax.grad(t_of_radius)(r0)) + 1.0) < 1e-3
+
+
+def test_inverse_rendering_recovers_albedo():
+    """End-to-end: optimize a wall albedo back to the value that made the
+    target image (tiny res, few steps -- loss must drop monotonically-ish)."""
+    from photorealistic_rendering_using_opencl_tpu.diff import fit_scene
+    cfg, scene = build_scene(CORNELL)
+    cam = default_camera(W, H).pytree()
+    target, _ = pathtracer.render(cfg, scene, cam, W, H, 8, seed=11)
+
+    wrong = dataclasses.replace(
+        scene, color=scene.color.at[2].set(jnp.array([0.2, 0.6, 0.9])))
+    res = fit_scene(cfg, wrong, cam, W, H, 4, target, steps=24, lr=0.1,
+                    param_leaves=("color",))
+    assert float(res.losses[-1]) < float(res.losses[0]) * 0.5
+    # recovered wall color moves toward [0.8, 0.1, 0.1]
+    rec = np.asarray(res.scene.color[2])
+    assert np.abs(rec - np.array([0.8, 0.1, 0.1])).max() < 0.25
