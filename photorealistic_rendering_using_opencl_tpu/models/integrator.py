@@ -310,20 +310,44 @@ def n_steps_for(cfg: SceneConfig, scatter_cap: int = 16) -> int:
 
 def trace(cfg: SceneConfig, scene: SceneData, origin, direction,
           pixel_idx, sample_idx, seed=0, rng_scheme: str = "pcg4d",
-          scatter_cap: int = 16):
+          scatter_cap: int = 16, method: str = "scan"):
     """Trace one sample per ray to termination.
 
     Returns (radiance [N,3], alpha [N]).
+
+    method:
+      * "scan": fixed `lax.scan` over the bounce budget -- reverse-mode
+        differentiable (the training / FD-validation path).
+      * "while": `lax.while_loop` with an all-dead early exit -- forward
+        only, but skips the tail of deep bounce budgets (cornell.json sets
+        MAX_BOUNCES=32 while most paths die in <8 with RR).  Identical
+        radiance: the RNG is counter-keyed on the bounce index, not on the
+        number of launched steps.
     """
     state = init_state(origin, direction)
     n_steps = n_steps_for(cfg, scatter_cap)
 
-    def body(state, bounce):
+    def step(state, bounce):
         sampler = Sampler(pixel_idx, sample_idx, seed=seed,
                           scheme=rng_scheme,
                           dim=CAMERA_DIMS + bounce * DIMS_PER_BOUNCE)
-        state = bounce_step(cfg, scene, state, sampler, bounce)
-        return _sanitize_grad(state), None
+        return bounce_step(cfg, scene, state, sampler, bounce)
 
-    state, _ = jax.lax.scan(body, state, jnp.arange(n_steps, dtype=jnp.int32))
+    if method == "while":
+        def cond(carry):
+            state, bounce = carry
+            return (bounce < n_steps) & jnp.any(state.alive)
+
+        def body(carry):
+            state, bounce = carry
+            return step(state, bounce), bounce + 1
+
+        state, _ = jax.lax.while_loop(
+            cond, body, (state, jnp.asarray(0, jnp.int32)))
+    else:
+        def body(state, bounce):
+            return _sanitize_grad(step(state, bounce)), None
+
+        state, _ = jax.lax.scan(body, state,
+                                jnp.arange(n_steps, dtype=jnp.int32))
     return state.acc, state.alpha

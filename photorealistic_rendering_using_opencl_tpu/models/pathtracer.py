@@ -47,7 +47,8 @@ def camera_rays_for_sample(cam_pytree, width, height, px, py, pixel_idx,
 
 def render_sample(cfg: SceneConfig, scene: SceneData, cam_pytree,
                   width: int, height: int, sample_idx, seed=0,
-                  rng_scheme: str = "pcg4d", jitter: bool = True):
+                  rng_scheme: str = "pcg4d", jitter: bool = True,
+                  method: str = "scan"):
     """One sample per pixel -> (radiance [N,3], alpha [N])."""
     px, py = pixel_grid(width, height)
     pixel_idx = py.astype(jnp.uint32) * width + px.astype(jnp.uint32)
@@ -57,20 +58,28 @@ def render_sample(cfg: SceneConfig, scene: SceneData, cam_pytree,
         cam_pytree, width, height, px, py, pixel_idx, sample_arr, seed,
         rng_scheme, jitter)
     return integrator.trace(cfg, scene, origin, direction, pixel_idx,
-                            sample_arr, seed=seed, rng_scheme=rng_scheme)
+                            sample_arr, seed=seed, rng_scheme=rng_scheme,
+                            method=method)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "width", "height", "spp",
-                                             "rng_scheme", "jitter"))
+                                             "rng_scheme", "jitter",
+                                             "method"))
 def render(cfg: SceneConfig, scene: SceneData, cam_pytree,
            width: int, height: int, spp: int, seed=0,
-           rng_scheme: str = "pcg4d", jitter: bool = True):
-    """Full render -> (hdr [H,W,3], alpha [H,W])."""
+           rng_scheme: str = "pcg4d", jitter: bool = True,
+           method: str = "scan"):
+    """Full render -> (hdr [H,W,3], alpha [H,W]).
+
+    method="scan" is reverse-mode differentiable; method="while" is the
+    faster forward-only path (see integrator.trace).
+    """
 
     def body(carry, sample_idx):
         acc, aac = carry
         rad, alpha = render_sample(cfg, scene, cam_pytree, width, height,
-                                   sample_idx, seed, rng_scheme, jitter)
+                                   sample_idx, seed, rng_scheme, jitter,
+                                   method)
         return (acc + rad, aac + alpha), None
 
     n = width * height
@@ -116,8 +125,10 @@ def progressive_step(cfg: SceneConfig, scene: SceneData, cam_pytree,
                      state: ProgressiveState, rng_scheme: str = "pcg4d"
                      ) -> ProgressiveState:
     height, width = state.acc.shape[0], state.acc.shape[1]
+    # interactive accumulation never differentiates: take the early-exit path
     rad, alpha = render_sample(cfg, scene, cam_pytree, width, height,
-                               state.samples, state.seed, rng_scheme)
+                               state.samples, state.seed, rng_scheme,
+                               method="while")
     return ProgressiveState(
         acc=state.acc + rad.reshape(height, width, 3),
         alpha=state.alpha + alpha.reshape(height, width),

@@ -220,7 +220,8 @@ def _tri_intersect(p0, p1, p2, origin, direction, t_best):
     return hit, t, u, v
 
 
-def bvh_traverse(scene: SceneData, origin, direction, t_init):
+def bvh_traverse(scene: SceneData, origin, direction, t_init,
+                 any_hit: bool = False):
     """Closest-hit over the threaded BVH.
 
     Returns (t[N], tri[N] (-1 = none), u[N], v[N]).  The walk replaces the
@@ -277,6 +278,10 @@ def bvh_traverse(scene: SceneData, origin, direction, t_init):
 
         descend = box_hit & ~is_leaf
         nxt = jnp.where(descend, node + 1, scene.bvh_miss[nid])
+        if any_hit:
+            # shadow variant (bvh.cl traverseShadows): a lane parks at the
+            # end sentinel as soon as any occluder is found
+            nxt = jnp.where(tri >= 0, n_nodes, nxt)
         node = jnp.where(active, nxt, node)
         return node, t, tri, u, v
 
@@ -463,7 +468,8 @@ def shadow_visible(cfg: SceneConfig, scene: SceneData, origin, direction,
     q0, q1 = b1, b1 + cfg.n_quads
 
     if cfg.has_mesh:
-        tm, tri, _, _ = bvh_traverse(scene, origin, direction, limit)
+        tm, tri, _, _ = bvh_traverse(scene, origin, direction, limit,
+                                     any_hit=True)
         blocked = blocked | (tri >= 0)
     if cfg.n_spheres:
         ts = jnp.min(sphere_hits(origin, direction, scene.position[s0:s1],

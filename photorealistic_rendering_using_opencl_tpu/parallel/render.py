@@ -42,7 +42,8 @@ def _pad_to(n: int, m: int) -> int:
 
 
 def _render_block(cfg: SceneConfig, width, height, spp, rng_scheme,
-                  scene: SceneData, cam, px, py, seed):
+                  scene: SceneData, cam, px, py, seed,
+                  method: str = "scan"):
     """Per-shard body: render `spp` samples for this shard's pixel slice."""
     pixel_idx = py.astype(jnp.uint32) * width + px.astype(jnp.uint32)
 
@@ -54,7 +55,7 @@ def _render_block(cfg: SceneConfig, width, height, spp, rng_scheme,
             rng_scheme, True)
         rad, alpha = integrator.trace(cfg, scene, origin, direction,
                                       pixel_idx, sample_arr, seed=seed,
-                                      rng_scheme=rng_scheme)
+                                      rng_scheme=rng_scheme, method=method)
         return (acc + rad, aac + alpha), None
 
     n = px.shape[0]
@@ -84,7 +85,8 @@ def render_sharded(cfg: SceneConfig, scene: SceneData, cam: Any,
     py = jnp.pad(py, (0, n_pad - n))
 
     fn = shard_map(
-        functools.partial(_render_block, cfg, width, height, spp, rng_scheme),
+        functools.partial(_render_block, cfg, width, height, spp, rng_scheme,
+                          method="while"),
         mesh=mesh,
         in_specs=(P(), P(), P(RAYS_AXIS), P(RAYS_AXIS), P()),
         out_specs=(P(RAYS_AXIS), P(RAYS_AXIS)),
