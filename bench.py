@@ -7,9 +7,19 @@ Baseline (BASELINE.md north star): cornell 1024x1024 at 256 spp
 forward+backward in <10 s on v5e-8 => 3.355e6 pixel-samples/s/chip.
 ``vs_baseline`` is measured forward throughput per chip over that target
 rate (>1.0 means beating the target).
+
+Measurement notes for the axon-tunneled TPU:
+  * per-dispatch latency is ~1 s and `block_until_ready` can return before
+    the device finishes -- throughput is measured over `reps` whole frames
+    folded into ONE jitted scan, completion forced by a host transfer;
+  * two rep counts are differenced to cancel the fixed tunnel latency;
+  * very long single executions can crash the remote worker, so the work
+    per dispatch is kept bounded and the config backs off on runtime
+    errors.
 """
 from __future__ import annotations
 
+import functools
 import json
 import os
 import sys
@@ -20,51 +30,116 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 BASELINE_SAMPLES_PER_SEC_PER_CHIP = 1024 * 1024 * 256 / 10.0 / 8.0
 
 
-def main() -> None:
+def _measure(cfg, scene, cam, width, height, spp, reps_lo, reps_hi):
     import jax
+    import jax.numpy as jnp
     import numpy as np
     from photorealistic_rendering_using_opencl_tpu.models import pathtracer
+
+    @functools.partial(jax.jit, static_argnames=("reps",))
+    def multi(scene, cam, reps):
+        def body(acc, seed):
+            img, _ = pathtracer.render.__wrapped__(
+                cfg, scene, cam, width, height, spp, seed=seed,
+                method="while")
+            return acc + img, None
+        acc, _ = jax.lax.scan(body, jnp.zeros((height, width, 3), jnp.float32),
+                              jnp.arange(1, reps + 1, dtype=jnp.uint32))
+        return acc
+
+    def timed(reps):
+        out = multi(scene, cam, reps)
+        mean = float(np.asarray(out).mean())  # completion barrier
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            float(np.asarray(multi(scene, cam, reps)).mean())
+            best = min(best, time.perf_counter() - t0)
+        return best, mean
+
+    t_lo, mean = timed(reps_lo)
+    t_hi, _ = timed(reps_hi)
+    per_frame = max(t_hi - t_lo, 1e-9) / (reps_hi - reps_lo)
+    # guard against tunnel jitter making the difference meaningless: fall
+    # back to the raw rate of the bigger run (includes dispatch overhead,
+    # i.e. a conservative lower bound)
+    raw = t_hi / reps_hi
+    if per_frame < 0.05 * raw:
+        per_frame = raw
+    return per_frame, mean / reps_lo
+
+
+def main() -> None:
+    import jax
     from photorealistic_rendering_using_opencl_tpu.ops.camera_rays import default_camera
     from photorealistic_rendering_using_opencl_tpu.scene.loader import load_scene
     from photorealistic_rendering_using_opencl_tpu.scene.obj import make_icosphere
 
-    on_tpu = jax.devices()[0].platform == "tpu"
-    width = height = 1024 if on_tpu else 128
-    spp = 16 if on_tpu else 2
+    on_tpu = jax.devices()[0].platform != "cpu"
+    # ladder of (width, spp, reps_lo, reps_hi), SMALL -> LARGE: the last
+    # rung that succeeds wins (a crashed remote worker poisons followers,
+    # so climbing up wastes less than falling down)
+    if on_tpu:
+        ladder = [(128, 4, 4, 16), (256, 8, 4, 16), (512, 8, 4, 16)]
+    else:
+        ladder = [(128, 2, 1, 4)]
 
-    try:
-        cfg, scene = load_scene("scenes/cornell.json")
-    except FileNotFoundError:
-        mesh = make_icosphere(subdiv=2, radius=0.6, center=(0.0, -1.0, 0.0))
-        cfg, scene = load_scene("scenes/cornell.json", mesh_override=mesh)
-    cam = default_camera(width, height).pytree()
+    def build_scene():
+        try:
+            return load_scene("scenes/cornell.json")
+        except FileNotFoundError:
+            mesh = make_icosphere(subdiv=2, radius=0.6,
+                                  center=(0.0, -1.0, 0.0))
+            return load_scene("scenes/cornell.json", mesh_override=mesh)
 
-    # warm-up / compile
-    img, _ = pathtracer.render(cfg, scene, cam, width, height, spp)
-    img.block_until_ready()
+    def wait_healthy(max_tries=10):
+        import jax.numpy as jnp
+        for _ in range(max_tries):
+            try:
+                if float(jnp.arange(4.0).sum()) == 6.0:
+                    return True
+            except Exception:
+                time.sleep(20)
+        return False
 
-    t0 = time.perf_counter()
-    reps = 3 if on_tpu else 1
-    for r in range(reps):
-        img, _ = pathtracer.render(cfg, scene, cam, width, height, spp,
-                                   seed=r + 1)
-        img.block_until_ready()
-    dt = (time.perf_counter() - t0) / reps
-
-    samples_per_sec = width * height * spp / dt
-    result = {
+    last_err = None
+    best = None
+    for width, spp, reps_lo, reps_hi in ladder:
+        try:
+            if not wait_healthy():
+                break
+            # (re)load per attempt: a worker restart invalidates buffers
+            cfg, scene = build_scene()
+            cam = default_camera(width, width).pytree()
+            per_frame, mean_rad = _measure(cfg, scene, cam, width, width,
+                                           spp, reps_lo, reps_hi)
+        except Exception as e:  # remote worker crash / OOM: stop climbing
+            last_err = f"{type(e).__name__}: {str(e)[:100]}"
+            break
+        samples_per_sec = width * width * spp / per_frame
+        best = {
+            "metric": "cornell_pixel_samples_per_sec_per_chip",
+            "value": round(samples_per_sec, 1),
+            "unit": "samples/s",
+            "vs_baseline": round(
+                samples_per_sec / BASELINE_SAMPLES_PER_SEC_PER_CHIP, 4),
+            "detail": {
+                "width": width, "spp": spp,
+                "seconds_per_frame": round(per_frame, 4),
+                "device": str(jax.devices()[0].platform),
+                "mean_radiance": round(mean_rad, 5),
+                "bounces": cfg.max_bounces,
+                "n_triangles": cfg.n_triangles,
+            },
+        }
+    if best is not None:
+        print(json.dumps(best))
+        return
+    print(json.dumps({
         "metric": "cornell_pixel_samples_per_sec_per_chip",
-        "value": round(samples_per_sec, 1),
-        "unit": "samples/s",
-        "vs_baseline": round(samples_per_sec / BASELINE_SAMPLES_PER_SEC_PER_CHIP, 4),
-        "detail": {
-            "width": width, "height": height, "spp": spp,
-            "seconds_per_frame": round(dt, 4),
-            "device": str(jax.devices()[0].platform),
-            "mean_radiance": float(np.asarray(img).mean()),
-        },
-    }
-    print(json.dumps(result))
+        "value": 0.0, "unit": "samples/s", "vs_baseline": 0.0,
+        "detail": {"error": last_err or "all configs failed"},
+    }))
 
 
 if __name__ == "__main__":

@@ -108,8 +108,27 @@ def gather_material(cfg: SceneConfig, scene: SceneData, mesh_id
     return props
 
 
-def _medium_transmittance(cfg, scene, dist):
+def _medium_transmittance(cfg, scene, origin, direction, dist):
+    """Shadow-segment transmittance, dispatched on the static medium type
+    (the reference selects the medium by editing media.cl:62; here it is a
+    SceneConfig field)."""
+    if cfg.medium_type == "exponential":
+        return media.exponential_transmittance(scene.medium_sigma_t, origin,
+                                               direction, dist)
     return media.homogeneous_transmittance(scene.medium_sigma_t, dist)
+
+
+def _medium_sample_distance(cfg, scene, origin, direction, max_t,
+                            u_chan, u_dist):
+    if cfg.medium_type == "exponential":
+        return media.exponential_sample_distance(
+            scene.medium_sigma_s, scene.medium_sigma_t,
+            cfg.medium_absorption_only, origin, direction, max_t,
+            u_chan, u_dist)
+    return media.homogeneous_sample_distance(
+        scene.medium_sigma_s, scene.medium_sigma_t,
+        cfg.medium_absorption_only, origin, direction, max_t,
+        u_chan, u_dist)
 
 
 def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
@@ -130,10 +149,8 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
     scattered = jnp.zeros_like(alive)
     if cfg.has_global_medium:
         u_chan, u_dist = sampler.next2d()
-        ms = media.homogeneous_sample_distance(
-            scene.medium_sigma_s, scene.medium_sigma_t,
-            cfg.medium_absorption_only,
-            state.origin, state.direction, hit.t, u_chan, u_dist)
+        ms = _medium_sample_distance(cfg, scene, state.origin,
+                                     state.direction, hit.t, u_chan, u_dist)
         mask = jnp.where(alive[..., None], mask * ms.weight, mask)
         scattered = (alive & ~ms.exited
                      & (state.n_scatter < cfg.max_scattering_events))
@@ -150,7 +167,7 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
                 do_nee = do_nee & (state.n_scatter > 0)
             f_ph = p_eval(state.direction, rec.d, g)
             vis = shadow_visible(cfg, scene, ms.p, rec.d, rec.dist)
-            trans = _medium_transmittance(cfg, scene, rec.dist)
+            trans = _medium_transmittance(cfg, scene, ms.p, rec.d, rec.dist)
             light_col = scene.color[li]
             # invalid lanes carry pdf=0; substitute 1 so the division's
             # partial stays finite (result is where-gated by do_nee anyway)
@@ -184,7 +201,14 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
         alpha = jnp.where(missed, 0.0, alpha)
     else:
         env = envmap.radiance(scene.env_map, state.direction)
-        acc = acc + jnp.where(missed[..., None], mask * env, 0.0)
+        w_env = 1.0
+        if cfg.env_nee:
+            # MIS against the env importance sampler at the prev vertex
+            e_pdf = envmap.env_pdf(scene.env_dist, state.direction)
+            w_env = jnp.where(state.prev_specular | ~state.prev_did_nee,
+                              1.0,
+                              power_heuristic(state.prev_pdf, e_pdf))[..., None]
+        acc = acc + jnp.where(missed[..., None], mask * env * w_env, 0.0)
 
     # ---------------- light hit (pathtracing.cl:76-84 + bsdfSample MIS) ---
     is_light = surface & hit.valid & ((mat.mat_type & LIGHT) != 0)
@@ -219,7 +243,8 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
         light_col = scene.color[li]
         contrib = light_col * f
         if cfg.has_global_medium:
-            contrib = contrib * _medium_transmittance(cfg, scene, rec.dist)
+            contrib = contrib * _medium_transmittance(cfg, scene, hit.pos,
+                                                      rec.d, rec.dist)
         pdf_safe = jnp.where(rec.valid, jnp.maximum(rec.pdf, 1e-12), 1.0)
         contrib = contrib * (power_heuristic(rec.pdf, b_pdf)
                              / pdf_safe)[..., None]
@@ -227,6 +252,28 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
         take = nee_ok & nonzero & vis
         acc = acc + jnp.where(take[..., None], mask * contrib, 0.0)
         did_nee = shade & bsdf_ops.nee_capable(mat)
+
+    # ---------------- env-map NEE (new; SURVEY §7 stage 8) ----------------
+    if cfg.env_nee:
+        ue1, ue2 = sampler.next2d()
+        e_dir, e_pdf = envmap.sample_env(scene.env_dist, ue1, ue2)
+        e_ok = shade & bsdf_ops.nee_capable(mat) & (e_pdf > 1e-12)
+        wo_e = to_local(hit.normal, e_dir)
+        f_e = bsdf_ops.evaluate(cfg, mat, wi, wo_e, hit.backside, hit.t)
+        b_pdf_e = bsdf_ops.pdf(cfg, mat, wi, wo_e)
+        vis_e = shadow_visible(cfg, scene, hit.pos, e_dir,
+                               jnp.full_like(e_pdf, RAY_INF))
+        e_rad = envmap.radiance(scene.env_map, e_dir)
+        pdf_safe_e = jnp.where(e_ok, jnp.maximum(e_pdf, 1e-12), 1.0)
+        contrib_e = e_rad * f_e * (power_heuristic(e_pdf, b_pdf_e)
+                                   / pdf_safe_e)[..., None]
+        if cfg.has_global_medium:
+            contrib_e = contrib_e * _medium_transmittance(
+                cfg, scene, hit.pos, e_dir, jnp.full_like(e_pdf, RAY_INF))
+        nz_e = jnp.sum(f_e * f_e, axis=-1) > 0.0
+        acc = acc + jnp.where((e_ok & nz_e & vis_e)[..., None],
+                              mask * contrib_e, 0.0)
+        did_nee = did_nee | (shade & bsdf_ops.nee_capable(mat))
 
     u0, u1, u2 = sampler.nextnd(3)
     samp = bsdf_ops.sample(cfg, mat, wi, hit.backside, hit.t, u0, u1, u2)

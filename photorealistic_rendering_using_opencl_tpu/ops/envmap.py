@@ -9,6 +9,7 @@ small bright regions and for stable gradients w.r.t. the map.
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
 from photorealistic_rendering_using_opencl_tpu.ops.math import (
     INV_FOUR_PI, INV_PI, INV_TWO_PI, PI, TWO_PI,
@@ -69,15 +70,28 @@ def build_env_distribution(env_map: jnp.ndarray):
 
 
 def sample_env(dist: dict, u1: jnp.ndarray, u2: jnp.ndarray):
-    """Inverse-CDF sample -> (direction[N,3], pdf[N] in solid angle)."""
+    """Continuous inverse-CDF sample -> (direction[N,3], solid-angle pdf[N]).
+
+    The sample is uniform *within* the selected texel (intra-cell CDF
+    fraction) so the estimator radiance(d)/pdf is unbiased -- emitting only
+    cell centers would be a discrete distribution masquerading as a
+    density and biases bright-texel scenes.
+    """
     h, w = dist["cond_cdf"].shape
-    row = jnp.searchsorted(dist["marg_cdf"], u1)
-    row = jnp.clip(row, 0, h - 1)
-    cond = dist["cond_cdf"][row]  # [N,W]
-    col = jnp.clip(
-        jax_searchsorted_rows(cond, u2), 0, w - 1)
-    v = (row.astype(jnp.float32) + 0.5) / h
-    u = (col.astype(jnp.float32) + 0.5) / w
+    marg = dist["marg_cdf"]
+    row = jnp.clip(jnp.searchsorted(marg, u1), 0, h - 1)
+    c_hi = marg[row]
+    c_lo = jnp.where(row > 0, marg[jnp.maximum(row - 1, 0)], 0.0)
+    frac_v = jnp.clip((u1 - c_lo) / jnp.maximum(c_hi - c_lo, 1e-12), 0., 1.)
+
+    cond = dist["cond_cdf"]
+    col = jnp.clip(jax_searchsorted_rows(cond, row, u2), 0, w - 1)
+    d_hi = cond[row, col]
+    d_lo = jnp.where(col > 0, cond[row, jnp.maximum(col - 1, 0)], 0.0)
+    frac_u = jnp.clip((u2 - d_lo) / jnp.maximum(d_hi - d_lo, 1e-12), 0., 1.)
+
+    v = (row.astype(jnp.float32) + frac_v) / h
+    u = (col.astype(jnp.float32) + frac_u) / w
     theta = v * PI
     phi = (u - 0.5) * TWO_PI
     sin_t = jnp.sin(theta)
@@ -88,9 +102,29 @@ def sample_env(dist: dict, u1: jnp.ndarray, u2: jnp.ndarray):
     return direction, pdf
 
 
-def jax_searchsorted_rows(cdfs: jnp.ndarray, u: jnp.ndarray):
-    """Row-wise searchsorted: cdfs[N,W] monotone, u[N] -> idx[N]."""
-    return jnp.sum(cdfs < u[:, None], axis=-1).astype(jnp.int32)
+def jax_searchsorted_rows(cdf_table: jnp.ndarray, row: jnp.ndarray,
+                          u: jnp.ndarray):
+    """Per-ray searchsorted within a selected row of a [H,W] CDF table.
+
+    Bisection with O(log W) single-element gathers -- never materializes
+    the [N,W] row gather (256 MB+ for megapixel batches on wide HDRs).
+    Returns the first index where cdf >= u.
+    """
+    import jax
+
+    h, w = cdf_table.shape
+    steps = max(1, int(np.ceil(np.log2(max(w, 2)))))
+    lo = jnp.zeros_like(row)
+    hi = jnp.full_like(row, w - 1)
+
+    def body(_, carry):
+        lo, hi = carry
+        mid = (lo + hi) // 2
+        below = cdf_table[row, mid] < u
+        return jnp.where(below, mid + 1, lo), jnp.where(below, hi, mid)
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return lo.astype(jnp.int32)
 
 
 def env_pdf_from_cell(dist, row, col, sin_theta):

@@ -219,7 +219,22 @@ def run_interactive(args) -> int:
     return 0
 
 
+def _honor_platform_env() -> None:
+    """The axon TPU plugin force-sets jax_platforms at import, clobbering
+    JAX_PLATFORMS from the environment; restore the user's choice."""
+    import os
+
+    import jax
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and jax.config.jax_platforms != want:
+        try:
+            jax.config.update("jax_platforms", want)
+        except RuntimeError:
+            pass  # backend already initialized
+
+
 def main(argv=None) -> int:
+    _honor_platform_env()
     args = build_parser().parse_args(argv)
     if args.interactive:
         return run_interactive(args)

@@ -207,10 +207,14 @@ def build_scene(doc: dict, models_dir: str | None = None,
     has_medium = gm is not None
     sigma_a = np.zeros(3, np.float32)
     sigma_s = np.zeros(3, np.float32)
+    medium_type = "homogeneous"
     if has_medium:
         density = float(gm.get("density", 0.1))
         sigma_a[:] = density * float(gm.get("sigmaA", 0.2))
         sigma_s[:] = density * float(gm.get("sigmaS", 1.0))
+        medium_type = str(gm.get("type", "homogeneous"))
+        if medium_type not in ("homogeneous", "exponential"):
+            raise ValueError(f"unknown global_medium type {medium_type!r}")
     sigma_t = sigma_a + sigma_s
     absorption_only = has_medium and float(sigma_s.max()) == 0.0
 
@@ -229,6 +233,7 @@ def build_scene(doc: dict, models_dir: str | None = None,
         shadow_marching_steps=int(settings.get("SHADOW_MARCHING_STEPS", 64)),
         has_global_medium=has_medium,
         medium_absorption_only=absorption_only,
+        medium_type=medium_type,
         phase_function=phase_function,
         active_mats=int(active_mats),
         alpha_testing=alpha_testing,
@@ -274,7 +279,15 @@ def build_scene(doc: dict, models_dir: str | None = None,
     data.medium_sigma_s = jnp.asarray(sigma_s)
     data.medium_sigma_t = jnp.asarray(sigma_t)
     if env_map is not None:
+        from photorealistic_rendering_using_opencl_tpu.ops.envmap import (
+            build_env_distribution,
+        )
         data.env_map = jnp.asarray(env_map, jnp.float32)
+        dist = build_env_distribution(data.env_map)
+        data.env_cond_cdf = dist["cond_cdf"]
+        data.env_marg_cdf = dist["marg_cdf"]
+        data.env_weights = dist["weights"]
+        data.env_total = dist["total"]
     return cfg, data
 
 

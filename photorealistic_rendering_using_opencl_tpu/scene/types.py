@@ -125,6 +125,7 @@ class SceneConfig:
     # stay differentiable -- only presence/absorption-only are static.
     has_global_medium: bool = False
     medium_absorption_only: bool = False
+    medium_type: str = "homogeneous"  # homogeneous | exponential
     phase_function: str = "isotropic"  # isotropic | hg | rayleigh
 
     # material presence mask (scene.h ACTIVE_MATS) -- used to skip whole
@@ -139,6 +140,13 @@ class SceneConfig:
     pick_random_light: bool = False  # base.cl:9 PICK_RANDOM_LIGHT
 
     has_env_map: bool = False
+    # env-map NEE with luminance-CDF importance sampling (new vs the
+    # reference, SURVEY §7 stage 8); only meaningful when has_env_map
+    enable_env_sampling: bool = True
+
+    @property
+    def env_nee(self) -> bool:
+        return self.has_env_map and self.enable_env_sampling
 
     @property
     def n_objects(self) -> int:
@@ -215,6 +223,16 @@ class SceneData:
 
     # environment map, equirect RGB (1x1 black when absent)
     env_map: jnp.ndarray  # [H,W,3]
+    # luminance-CDF tables for env importance sampling (ops/envmap.py)
+    env_cond_cdf: jnp.ndarray  # [H,W]
+    env_marg_cdf: jnp.ndarray  # [H]
+    env_weights: jnp.ndarray  # [H,W]
+    env_total: jnp.ndarray  # []
+
+    @property
+    def env_dist(self) -> dict:
+        return dict(cond_cdf=self.env_cond_cdf, marg_cdf=self.env_marg_cdf,
+                    weights=self.env_weights, total=self.env_total)
 
 
 def tree_flatten_scene(s: SceneData):
@@ -278,6 +296,10 @@ def empty_scene_data(n_objects: int = 0, n_tris: int = 0, n_nodes: int = 0,
         medium_sigma_t=jnp.zeros((3,), jnp.float32),
         phase_g=jnp.array(0.6, jnp.float32),
         env_map=jnp.zeros((1, 1, 3), jnp.float32),
+        env_cond_cdf=jnp.ones((1, 1), jnp.float32),
+        env_marg_cdf=jnp.ones((1,), jnp.float32),
+        env_weights=jnp.ones((1, 1), jnp.float32),
+        env_total=jnp.ones((), jnp.float32),
     )
 
 

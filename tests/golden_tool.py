@@ -14,6 +14,8 @@ import sys
 
 import numpy as np
 
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
 
 CONFIGS = {
@@ -23,6 +25,8 @@ CONFIGS = {
     "mesh_icosphere": dict(scene="scenes/cornell_simple.json", spp=4,
                            mesh=True),
     "envmap": dict(scene="scenes/cornell_simple.json", spp=4, env=True),
+    "exponential_fog": dict(scene="scenes/cornell_simple.json", spp=4,
+                            exp_medium=True),
 }
 SIZE = 32
 SEED = 9
@@ -47,7 +51,15 @@ def render_config(name: str):
         env = np.stack([gx, gy, np.full((8, 16), 0.5, np.float32)],
                        axis=-1).astype(np.float32)
         kwargs["env_map"] = env
-    cfg, scene = load_scene(c["scene"], **kwargs)
+    if c.get("exp_medium"):
+        import json as _json
+        doc = _json.load(open(c["scene"]))
+        doc["global_medium"] = {"type": "exponential", "density": 0.4,
+                                "sigmaA": 0.1, "sigmaS": 0.6}
+        from photorealistic_rendering_using_opencl_tpu.scene.loader import build_scene
+        cfg, scene = build_scene(doc, **kwargs)
+    else:
+        cfg, scene = load_scene(c["scene"], **kwargs)
     cam = default_camera(SIZE, SIZE).pytree()
     img, alpha = pathtracer.render(cfg, scene, cam, SIZE, SIZE, c["spp"],
                                    seed=SEED)
