@@ -30,7 +30,14 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 BASELINE_SAMPLES_PER_SEC_PER_CHIP = 1024 * 1024 * 256 / 10.0 / 8.0
 
 
-def _measure(cfg, scene, cam, width, height, spp, reps_lo, reps_hi):
+def _measure(cfg, scene, cam, width, height, spp, reps_lo, reps_hi,
+             dispatch_budget_s: float = 12.0):
+    """Seconds-per-frame with tunnel overhead cancelled.
+
+    Each dispatch is kept under ~dispatch_budget_s of wall time (very long
+    single executions can trip the remote worker's watchdog), rep counts
+    grow adaptively, and the two largest safe rep counts are differenced.
+    """
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -49,7 +56,7 @@ def _measure(cfg, scene, cam, width, height, spp, reps_lo, reps_hi):
 
     def timed(reps):
         out = multi(scene, cam, reps)
-        mean = float(np.asarray(out).mean())  # completion barrier
+        mean = float(np.asarray(out).mean()) / reps  # completion barrier
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
@@ -58,15 +65,24 @@ def _measure(cfg, scene, cam, width, height, spp, reps_lo, reps_hi):
         return best, mean
 
     t_lo, mean = timed(reps_lo)
-    t_hi, _ = timed(reps_hi)
-    per_frame = max(t_hi - t_lo, 1e-9) / (reps_hi - reps_lo)
-    # guard against tunnel jitter making the difference meaningless: fall
-    # back to the raw rate of the bigger run (includes dispatch overhead,
-    # i.e. a conservative lower bound)
-    raw = t_hi / reps_hi
-    if per_frame < 0.05 * raw:
-        per_frame = raw
-    return per_frame, mean / reps_lo
+    reps = reps_lo
+    t_prev, reps_prev = t_lo, reps_lo
+    while reps < reps_hi:
+        nxt = reps * 2
+        # projected marginal cost of the extra reps
+        projected = t_prev + (t_prev / max(reps_prev, 1)) * (nxt - reps)
+        if projected > dispatch_budget_s:
+            break
+        t_nxt, _ = timed(nxt)
+        t_prev, reps_prev, reps = t_nxt, nxt, nxt
+    if reps_prev > reps_lo:
+        per_frame = max(t_prev - t_lo, 1e-9) / (reps_prev - reps_lo)
+        raw = t_prev / reps_prev
+        if per_frame < 0.05 * raw:  # tunnel jitter swallowed the diff
+            per_frame = raw
+    else:
+        per_frame = t_lo / reps_lo
+    return per_frame, mean  # mean is already per-frame (timed divides)
 
 
 def main() -> None:
@@ -80,7 +96,7 @@ def main() -> None:
     # rung that succeeds wins (a crashed remote worker poisons followers,
     # so climbing up wastes less than falling down)
     if on_tpu:
-        ladder = [(128, 4, 4, 16), (256, 8, 4, 16), (512, 8, 4, 16)]
+        ladder = [(128, 4, 1, 16), (256, 8, 1, 16), (512, 8, 1, 16)]
     else:
         ladder = [(128, 2, 1, 4)]
 
