@@ -137,7 +137,8 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
     p_eval, p_pdf, p_sample = phase_ops.get(cfg.phase_function)
     g = scene.phase_g
 
-    hit = intersect_scene(cfg, scene, state.origin, state.direction)
+    hit = intersect_scene(cfg, scene, state.origin, state.direction,
+                          active=state.alive)
     mat = gather_material(cfg, scene, hit.mesh_id)
     alive = state.alive
 
@@ -166,7 +167,8 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
             if not cfg.low_order_scattering:
                 do_nee = do_nee & (state.n_scatter > 0)
             f_ph = p_eval(state.direction, rec.d, g)
-            vis = shadow_visible(cfg, scene, ms.p, rec.d, rec.dist)
+            vis = shadow_visible(cfg, scene, ms.p, rec.d, rec.dist,
+                                 active=do_nee)
             trans = _medium_transmittance(cfg, scene, ms.p, rec.d, rec.dist)
             light_col = scene.color[li]
             # invalid lanes carry pdf=0; substitute 1 so the division's
@@ -239,7 +241,8 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
         f = bsdf_ops.evaluate(cfg, mat, wi, wo_l, hit.backside, hit.t)
         b_pdf = bsdf_ops.pdf(cfg, mat, wi, wo_l)
         nonzero = jnp.sum(f * f, axis=-1) > 0.0
-        vis = shadow_visible(cfg, scene, hit.pos, rec.d, rec.dist)
+        vis = shadow_visible(cfg, scene, hit.pos, rec.d, rec.dist,
+                             active=nee_ok & nonzero)
         light_col = scene.color[li]
         contrib = light_col * f
         if cfg.has_global_medium:
@@ -261,8 +264,10 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
         wo_e = to_local(hit.normal, e_dir)
         f_e = bsdf_ops.evaluate(cfg, mat, wi, wo_e, hit.backside, hit.t)
         b_pdf_e = bsdf_ops.pdf(cfg, mat, wi, wo_e)
+        nz_e_pre = jnp.sum(f_e * f_e, axis=-1) > 0.0
         vis_e = shadow_visible(cfg, scene, hit.pos, e_dir,
-                               jnp.full_like(e_pdf, RAY_INF))
+                               jnp.full_like(e_pdf, RAY_INF),
+                               active=e_ok & nz_e_pre)
         e_rad = envmap.radiance(scene.env_map, e_dir)
         pdf_safe_e = jnp.where(e_ok, jnp.maximum(e_pdf, 1e-12), 1.0)
         contrib_e = e_rad * f_e * (power_heuristic(e_pdf, b_pdf_e)

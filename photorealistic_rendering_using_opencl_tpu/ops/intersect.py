@@ -150,10 +150,11 @@ def sdf_map(pos, centers, geom_type, params):
 
 
 def sdf_march(origin, direction, t_limit, centers, geom_type, params,
-              steps: int):
+              steps: int, active=None):
     """Sphere tracing (sdf.cl:103-118): returns (t[N], obj[N], hit[N]).
 
     Fully detached (while_loop); reattach derivatives with sdf_reattach.
+    Masked-out lanes (active=False) are born done and cost no iterations.
     """
     origin, direction, t_limit, centers, params = jax.lax.stop_gradient(
         (origin, direction, t_limit, centers, params))
@@ -173,6 +174,8 @@ def sdf_march(origin, direction, t_limit, centers, geom_type, params,
 
     t0 = jnp.full(origin.shape[:-1], EPS * 10.0, jnp.float32)
     done0 = jnp.zeros(origin.shape[:-1], bool)
+    if active is not None:
+        done0 = done0 | ~jax.lax.stop_gradient(active)
     _, t, _ = jax.lax.while_loop(cond, body, (jnp.array(0), t0, done0))
     hit = t <= t_limit
     pos = origin + direction * t[..., None]
@@ -221,7 +224,7 @@ def _tri_intersect(p0, p1, p2, origin, direction, t_best):
 
 
 def bvh_traverse(scene: SceneData, origin, direction, t_init,
-                 any_hit: bool = False):
+                 any_hit: bool = False, active=None):
     """Closest-hit over the threaded BVH.
 
     Returns (t[N], tri[N] (-1 = none), u[N], v[N]).  The walk replaces the
@@ -239,11 +242,21 @@ def bvh_traverse(scene: SceneData, origin, direction, t_init,
     direction = jax.lax.stop_gradient(direction)
     t_init = jax.lax.stop_gradient(t_init)
     scene = jax.lax.stop_gradient(scene)
-    n_nodes = scene.bvh_miss.shape[0]
+    n_nodes = scene.bvh_nodes.shape[0]
     nray = origin.shape[0]
     inv_d = 1.0 / jnp.where(jnp.abs(direction) < 1e-12,
                             jnp.copysign(1e-12, direction), direction)
+    # per-ray direction octant selects the near-first threading table
+    oct_ = ((direction[:, 0] < 0).astype(jnp.int32)
+            | ((direction[:, 1] < 0).astype(jnp.int32) << 1)
+            | ((direction[:, 2] < 0).astype(jnp.int32) << 2))
+    link_base = oct_ * n_nodes
 
+    # One flat loop: every iteration fetches the 32B node row + 8B octant
+    # links and (speculatively) the 144B leaf row.  A two-level
+    # "while-while" variant that defers leaf fetches measured ~45% SLOWER
+    # on v5e (lockstep lanes stall through the inner walk and the extra
+    # loop sync outweighs the saved bytes), so the flat form stays.
     def cond(carry):
         node, t, tri, u, v = carry
         return jnp.any(node < n_nodes)
@@ -251,33 +264,33 @@ def bvh_traverse(scene: SceneData, origin, direction, t_init,
     def body(carry):
         node, t, tri, u, v = carry
         nid = jnp.minimum(node, n_nodes - 1)
-        bmin = scene.bvh_bounds_min[nid]
-        bmax = scene.bvh_bounds_max[nid]
-        t_lo = (bmin - origin) * inv_d
-        t_hi = (bmax - origin) * inv_d
-        entry = jnp.max(jnp.minimum(t_lo, t_hi), axis=-1)
-        entry = jnp.maximum(entry, EPS)
-        exit_ = jnp.min(jnp.maximum(t_lo, t_hi), axis=-1)
-        exit_ = jnp.minimum(exit_, t)
+        row = scene.bvh_nodes[nid]  # ONE [N,8] gather for the whole step
+        meta = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
+        links = scene.bvh_links[link_base + nid]  # [N,2] octant threading
+        t_lo = (row[:, 0:3] - origin) * inv_d
+        t_hi = (row[:, 3:6] - origin) * inv_d
+        entry = jnp.maximum(jnp.max(jnp.minimum(t_lo, t_hi), axis=-1), EPS)
+        exit_ = jnp.minimum(jnp.min(jnp.maximum(t_lo, t_hi), axis=-1), t)
         active = node < n_nodes
         box_hit = active & (entry <= exit_)
 
-        count = scene.bvh_prim_count[nid]
-        first = scene.bvh_first_prim[nid]
+        count = meta & 7
+        leaf_idx = meta >> 3
         is_leaf = count > 0
+        # ONE gather brings back the whole padded leaf (4 tris x 9 floats)
+        leaf = scene.leaf_verts[leaf_idx].reshape(nray, LEAF_SIZE, 3, 3)
         for k in range(LEAF_SIZE):
-            pidx = first + k
-            tv = scene.tri_verts[pidx]  # [N,3,3]
+            tv = leaf[:, k]
             h, tk, uk, vk = _tri_intersect(tv[:, 0], tv[:, 1], tv[:, 2],
                                            origin, direction, t)
             take = box_hit & is_leaf & (k < count) & h
             t = jnp.where(take, tk, t)
-            tri = jnp.where(take, pidx, tri)
+            tri = jnp.where(take, leaf_idx * LEAF_SIZE + k, tri)
             u = jnp.where(take, uk, u)
             v = jnp.where(take, vk, v)
 
         descend = box_hit & ~is_leaf
-        nxt = jnp.where(descend, node + 1, scene.bvh_miss[nid])
+        nxt = jnp.where(descend, links[:, 0], links[:, 1])
         if any_hit:
             # shadow variant (bvh.cl traverseShadows): a lane parks at the
             # end sentinel as soon as any occluder is found
@@ -285,8 +298,14 @@ def bvh_traverse(scene: SceneData, origin, direction, t_init,
         node = jnp.where(active, nxt, node)
         return node, t, tri, u, v
 
+    # masked-out lanes park at the sentinel immediately: the while_loop
+    # trip count then follows the worst ACTIVE lane, not the worst lane
+    # (dead paths / non-NEE shadow rays cost zero iterations)
+    start = jnp.zeros((nray,), jnp.int32)
+    if active is not None:
+        start = jnp.where(jax.lax.stop_gradient(active), start, n_nodes)
     carry0 = (
-        jnp.zeros((nray,), jnp.int32),
+        start,
         jnp.asarray(t_init, jnp.float32),
         jnp.full((nray,), -1, jnp.int32),
         jnp.zeros((nray,), jnp.float32),
@@ -357,8 +376,8 @@ def bvh_smooth_normal(scene: SceneData, tri, u, v):
 OBJ_MESH_ID_OFFSET = 0  # mesh id == cfg.n_objects
 
 
-def intersect_scene(cfg: SceneConfig, scene: SceneData, origin, direction
-                    ) -> Hit:
+def intersect_scene(cfg: SceneConfig, scene: SceneData, origin, direction,
+                    active=None) -> Hit:
     n = origin.shape[0]
     t = jnp.full((n,), RAY_INF, jnp.float32)
     mesh_id = jnp.full((n,), -1, jnp.int32)
@@ -370,7 +389,8 @@ def intersect_scene(cfg: SceneConfig, scene: SceneData, origin, direction
     q0, q1 = b1, b1 + cfg.n_quads
 
     if cfg.has_mesh:
-        _, tri, _, _ = bvh_traverse(scene, origin, direction, t)
+        _, tri, _, _ = bvh_traverse(scene, origin, direction, t,
+                                    active=active)
         hit_m = tri >= 0
         # reattach gradients through the selected triangle (detached walk)
         tm, u, v = tri_reattach(scene, tri, origin, direction)
@@ -396,7 +416,7 @@ def intersect_scene(cfg: SceneConfig, scene: SceneData, origin, direction
                                      scene.position[d0:d1],
                                      scene.geom_type[d0:d1],
                                      scene.params[d0:d1],
-                                     cfg.marching_steps)
+                                     cfg.marching_steps, active=active)
         better = hit_s & (tsdf < t)
         tsdf = sdf_reattach(origin, direction, tsdf, scene.position[d0:d1],
                             scene.geom_type[d0:d1], scene.params[d0:d1], obj)
@@ -451,7 +471,7 @@ def material_type_of(cfg: SceneConfig, scene: SceneData, mesh_id):
 
 
 def shadow_visible(cfg: SceneConfig, scene: SceneData, origin, direction,
-                   max_dist) -> jnp.ndarray:
+                   max_dist, active=None) -> jnp.ndarray:
     """True where the segment [origin, origin + dir*max_dist] is unoccluded.
 
     Mirrors shadow() (intersect.cl:94-152): SDFs use the cheaper shadow
@@ -469,7 +489,7 @@ def shadow_visible(cfg: SceneConfig, scene: SceneData, origin, direction,
 
     if cfg.has_mesh:
         tm, tri, _, _ = bvh_traverse(scene, origin, direction, limit,
-                                     any_hit=True)
+                                     any_hit=True, active=active)
         blocked = blocked | (tri >= 0)
     if cfg.n_spheres:
         ts = jnp.min(sphere_hits(origin, direction, scene.position[s0:s1],
@@ -479,7 +499,7 @@ def shadow_visible(cfg: SceneConfig, scene: SceneData, origin, direction,
         _, _, hit_s = sdf_march(origin, direction, limit,
                                 scene.position[d0:d1], scene.geom_type[d0:d1],
                                 scene.params[d0:d1],
-                                cfg.shadow_marching_steps)
+                                cfg.shadow_marching_steps, active=active)
         blocked = blocked | hit_s
     if cfg.n_boxes:
         tb, _, _ = box_hits(origin, direction, scene.position[b0:b1],

@@ -183,3 +183,101 @@ def permute_triangles(tri_verts: np.ndarray, tri_normals: np.ndarray,
     padn = np.zeros((pad, 3, 3), np.float32)
     return (np.concatenate([v, padv], axis=0),
             np.concatenate([n, padn], axis=0))
+
+
+def pack_for_device(bvh: FlatBVH, tri_verts: np.ndarray,
+                    tri_normals: np.ndarray):
+    """Device layout: one gather per traversal step instead of nine.
+
+    Returns (nodes[M,8] f32, leaf_verts[L, LEAF_SIZE*9] f32,
+    tri_verts_lm[L*LEAF_SIZE,3,3], tri_normals_lm[L*LEAF_SIZE,3,3]).
+
+    * ``nodes`` row: bmin(0:3) | bmax(3:6) | bitcast(miss) |
+      bitcast(meta) with meta = (leaf_idx << 3) | count for leaves, 0 for
+      inner nodes -- the whole per-step node fetch is a single 32-byte row.
+    * triangles are stored leaf-major with every leaf padded to LEAF_SIZE
+      slots (degenerate zero triangles never hit), so a leaf's 4 candidate
+      triangles come back in ONE gather of its ``leaf_verts`` row.  The hit
+      triangle index is leaf_idx * LEAF_SIZE + k into the _lm arrays.
+    """
+    m = bvh.miss.shape[0]
+    is_leaf = bvh.prim_count > 0
+    leaf_ids = np.cumsum(is_leaf) - 1  # preorder leaf numbering
+    n_leaves = int(is_leaf.sum())
+
+    meta = np.where(is_leaf,
+                    (leaf_ids.astype(np.int64) << 3)
+                    | bvh.prim_count.astype(np.int64),
+                    0).astype(np.int32)
+    nodes = np.zeros((m, 8), np.float32)
+    nodes[:, 0:3] = bvh.bounds_min
+    nodes[:, 3:6] = bvh.bounds_max
+    nodes[:, 6] = bvh.miss.view(np.float32)
+    nodes[:, 7] = meta.view(np.float32)
+
+    v_sorted = tri_verts[bvh.order].astype(np.float32)
+    n_sorted = tri_normals[bvh.order].astype(np.float32)
+    lm_v = np.zeros((n_leaves, LEAF_SIZE, 3, 3), np.float32)
+    lm_n = np.zeros((n_leaves, LEAF_SIZE, 3, 3), np.float32)
+    leaf_nodes = np.nonzero(is_leaf)[0]
+    for li, node in enumerate(leaf_nodes):
+        first = int(bvh.first_prim[node])
+        count = int(bvh.prim_count[node])
+        lm_v[li, :count] = v_sorted[first:first + count]
+        lm_n[li, :count] = n_sorted[first:first + count]
+    leaf_verts = lm_v.reshape(n_leaves, LEAF_SIZE * 9)
+    links = thread_octants(bvh)
+    return (nodes, leaf_verts,
+            lm_v.reshape(n_leaves * LEAF_SIZE, 3, 3),
+            lm_n.reshape(n_leaves * LEAF_SIZE, 3, 3),
+            links)
+
+
+def thread_octants(bvh: FlatBVH) -> np.ndarray:
+    """Per-ray-octant hit/miss threading -> links [8*M, 2] int32.
+
+    The reference's stack traversal swaps siblings to visit the near child
+    first (bvh.cl:181-195).  A skip-link walk cannot reorder on the fly
+    (the miss link of a child depends on visit order), so the near-first
+    DFS is precomputed for each of the 8 direction octants: ray r uses the
+    table slice [oct(r)*M, (oct(r)+1)*M).  hit = next node when the box is
+    hit (first child, near-first), miss = skip target; leaves have
+    hit == miss.  Ordering key: the children's separation axis (argmax of
+    center distance) -- equivalent to the builder's split axis.
+    """
+    m = bvh.miss.shape[0]
+    is_leaf = bvh.prim_count > 0
+    centers = (bvh.bounds_min + bvh.bounds_max) * 0.5
+
+    # subtree extents: right child of inner i is subtree_end[i + 1]
+    subtree_end = np.empty(m, np.int64)
+    for i in range(m - 1, -1, -1):
+        subtree_end[i] = i + 1 if is_leaf[i] else subtree_end[subtree_end[i + 1]]
+
+    links = np.empty((8, m, 2), np.int32)
+    for oct_ in range(8):
+        sign = np.array([oct_ & 1, (oct_ >> 1) & 1, (oct_ >> 2) & 1], bool)
+        hit = np.empty(m, np.int32)
+        miss = np.empty(m, np.int32)
+        stack = [(0, m)]
+        while stack:
+            i, miss_link = stack.pop()
+            miss[i] = miss_link
+            if is_leaf[i]:
+                hit[i] = miss_link
+                continue
+            left = i + 1
+            right = int(subtree_end[left])
+            sep = np.abs(centers[left] - centers[right])
+            axis = int(np.argmax(sep))
+            left_is_near = centers[left, axis] <= centers[right, axis]
+            if sign[axis]:  # negative direction: far-coordinate child first
+                left_is_near = not left_is_near
+            near, far = (left, right) if left_is_near else (right, left)
+            hit[i] = near
+            # iterative DFS: push far (resumes at miss_link), then near
+            stack.append((far, miss_link))
+            stack.append((near, far))
+        links[oct_, :, 0] = hit
+        links[oct_, :, 1] = miss
+    return links.reshape(8 * m, 2)

@@ -121,10 +121,12 @@ def build_scene(doc: dict, models_dir: str | None = None,
 
     n_tris = 0
     bvh = None
+    packed = None
     if tri_v is not None:
         bvh = bvh_build.build_bvh(tri_v)
-        tri_v, tri_n = bvh_build.permute_triangles(tri_v, tri_n, bvh)
         n_tris = bvh.order.shape[0]
+        packed = bvh_build.pack_for_device(bvh, tri_v, tri_n)
+        tri_v, tri_n = packed[2], packed[3]
 
     data = empty_scene_data(
         n_objects=n_obj,
@@ -262,11 +264,9 @@ def build_scene(doc: dict, models_dir: str | None = None,
     if bvh is not None:
         data.tri_verts = jnp.asarray(tri_v)
         data.tri_normals = jnp.asarray(tri_n)
-        data.bvh_bounds_min = jnp.asarray(bvh.bounds_min)
-        data.bvh_bounds_max = jnp.asarray(bvh.bounds_max)
-        data.bvh_miss = jnp.asarray(bvh.miss)
-        data.bvh_first_prim = jnp.asarray(bvh.first_prim)
-        data.bvh_prim_count = jnp.asarray(bvh.prim_count)
+        data.bvh_nodes = jnp.asarray(packed[0])
+        data.leaf_verts = jnp.asarray(packed[1])
+        data.bvh_links = jnp.asarray(packed[4])
         data.obj_color = jnp.asarray(obj_mat.color, jnp.float32)
         data.obj_eta = jnp.asarray(obj_mat.eta, jnp.float32)
         data.obj_k = jnp.asarray(obj_mat.k, jnp.float32)

@@ -199,14 +199,13 @@ class SceneData:
     # light table (scene.h getLights)
     light_indices: jnp.ndarray  # [n_lights] int32
 
-    # triangle mesh + BVH (SoA; see scene/bvh_build.py)
-    tri_verts: jnp.ndarray  # [T,3,3] permuted into BVH leaf order
-    tri_normals: jnp.ndarray  # [T,3,3] vertex normals, same order
-    bvh_bounds_min: jnp.ndarray  # [M,3]
-    bvh_bounds_max: jnp.ndarray  # [M,3]
-    bvh_miss: jnp.ndarray  # [M] int32 skip-link (DFS threaded layout)
-    bvh_first_prim: jnp.ndarray  # [M] int32 (leaf) first triangle
-    bvh_prim_count: jnp.ndarray  # [M] int32, 0 for inner nodes
+    # triangle mesh + BVH, packed device layout (scene/bvh_build.py
+    # pack_for_device): one-gather node rows + one-gather leaf rows
+    tri_verts: jnp.ndarray  # [L*LEAF_SIZE,3,3] leaf-major, slot-padded
+    tri_normals: jnp.ndarray  # [L*LEAF_SIZE,3,3] vertex normals, same order
+    bvh_nodes: jnp.ndarray  # [M,8] bmin|bmax|bitcast(miss)|bitcast(meta)
+    bvh_links: jnp.ndarray  # [8*M,2] per-octant (hit, miss) threading
+    leaf_verts: jnp.ndarray  # [L, LEAF_SIZE*9] leaf triangle rows
     obj_color: jnp.ndarray  # [3] OBJ mesh material
     obj_eta: jnp.ndarray  # [3]
     obj_k: jnp.ndarray  # [3]
@@ -279,11 +278,9 @@ def empty_scene_data(n_objects: int = 0, n_tris: int = 0, n_nodes: int = 0,
         light_indices=jnp.zeros((nl,), jnp.int32),
         tri_verts=jnp.zeros((t, 3, 3), jnp.float32),
         tri_normals=jnp.zeros((t, 3, 3), jnp.float32),
-        bvh_bounds_min=jnp.zeros((m, 3), jnp.float32),
-        bvh_bounds_max=jnp.zeros((m, 3), jnp.float32),
-        bvh_miss=jnp.zeros((m,), jnp.int32),
-        bvh_first_prim=jnp.zeros((m,), jnp.int32),
-        bvh_prim_count=jnp.zeros((m,), jnp.int32),
+        bvh_nodes=jnp.zeros((m, 8), jnp.float32),
+        bvh_links=jnp.zeros((8 * m, 2), jnp.int32),
+        leaf_verts=jnp.zeros((1, 36), jnp.float32),
         obj_color=jnp.ones((3,), jnp.float32),
         obj_eta=_f32(AU_ETA),
         obj_k=_f32(AU_K),

@@ -113,16 +113,15 @@ def _brute_force(tri_v, o, d):
 def test_bvh_traversal_matches_brute_force(rng):
     tri_v, tri_n = obj_io.make_icosphere(subdiv=2)
     bvh = bvh_build.build_bvh(tri_v)
-    pv, pn = bvh_build.permute_triangles(tri_v, tri_n, bvh)
+    nodes, leaf_verts, lm_v, lm_n, links = bvh_build.pack_for_device(
+        bvh, tri_v, tri_n)
 
-    data = empty_scene_data(n_tris=pv.shape[0], n_nodes=bvh.miss.shape[0])
-    data.tri_verts = jnp.asarray(pv)
-    data.tri_normals = jnp.asarray(pn)
-    data.bvh_bounds_min = jnp.asarray(bvh.bounds_min)
-    data.bvh_bounds_max = jnp.asarray(bvh.bounds_max)
-    data.bvh_miss = jnp.asarray(bvh.miss)
-    data.bvh_first_prim = jnp.asarray(bvh.first_prim)
-    data.bvh_prim_count = jnp.asarray(bvh.prim_count)
+    data = empty_scene_data(n_tris=lm_v.shape[0], n_nodes=nodes.shape[0])
+    data.tri_verts = jnp.asarray(lm_v)
+    data.tri_normals = jnp.asarray(lm_n)
+    data.bvh_nodes = jnp.asarray(nodes)
+    data.leaf_verts = jnp.asarray(leaf_verts)
+    data.bvh_links = jnp.asarray(links)
 
     n = 256
     o = rng.normal(size=(n, 3)).astype(np.float32) * 0.1
@@ -136,8 +135,8 @@ def test_bvh_traversal_matches_brute_force(rng):
     t = np.asarray(t)
     tri = np.asarray(tri)
 
-    t_ref, _ = _brute_force(pv[: bvh.order.shape[0]],
-                            o.astype(np.float64), d.astype(np.float64))
+    t_ref, _ = _brute_force(tri_v, o.astype(np.float64),
+                            d.astype(np.float64))
     hit_ref = np.isfinite(t_ref)
     hit_bvh = tri >= 0
     assert (hit_bvh == hit_ref).all()
