@@ -223,8 +223,43 @@ def _tri_intersect(p0, p1, p2, origin, direction, t_best):
     return hit, t, u, v
 
 
+TRAVERSE_CHUNK = 8192  # lanes per while_loop (bounds the worst-lane tail)
+
+
 def bvh_traverse(scene: SceneData, origin, direction, t_init,
                  any_hit: bool = False, active=None):
+    """Closest-hit over the threaded BVH, chunked over the ray batch.
+
+    The while_loop runs until the WORST lane finishes; traversal depth is
+    heavy-tailed, so splitting a megapixel batch into TRAVERSE_CHUNK-lane
+    chunks (sequential ``lax.map``) pays sum(chunk maxima) instead of
+    batch_size x global maximum.
+    """
+    n = origin.shape[0]
+    if n > TRAVERSE_CHUNK:
+        pad = (-n) % TRAVERSE_CHUNK
+        def pad0(x, fill=0):
+            return jnp.pad(x, [(0, pad)] + [(0, 0)] * (x.ndim - 1),
+                           constant_values=fill)
+        o = pad0(origin).reshape(-1, TRAVERSE_CHUNK, 3)
+        d = pad0(direction, 1.0).reshape(-1, TRAVERSE_CHUNK, 3)
+        ti = pad0(jnp.broadcast_to(t_init, (n,))).reshape(-1, TRAVERSE_CHUNK)
+        act = active if active is not None else jnp.ones((n,), bool)
+        act = pad0(act).reshape(-1, TRAVERSE_CHUNK)
+
+        def one(args):
+            o, d, ti, a = args
+            return _bvh_traverse_chunk(scene, o, d, ti, any_hit, a)
+
+        t, tri, u, v = jax.lax.map(one, (o, d, ti, act))
+        return (t.reshape(-1)[:n], tri.reshape(-1)[:n],
+                u.reshape(-1)[:n], v.reshape(-1)[:n])
+    return _bvh_traverse_chunk(scene, origin, direction, t_init, any_hit,
+                               active)
+
+
+def _bvh_traverse_chunk(scene: SceneData, origin, direction, t_init,
+                        any_hit: bool = False, active=None):
     """Closest-hit over the threaded BVH.
 
     Returns (t[N], tri[N] (-1 = none), u[N], v[N]).  The walk replaces the

@@ -157,3 +157,33 @@ def test_bvh_leaf_invariants():
     # miss links are strictly forward and in range
     m = bvh.miss.shape[0]
     assert ((bvh.miss > np.arange(m)) & (bvh.miss <= m)).all()
+
+
+def test_bvh_traverse_chunked_matches_unchunked(rng):
+    """n > TRAVERSE_CHUNK exercises the lax.map chunking; results must be
+    identical to the single-chunk walk."""
+    tri_v, tri_n = obj_io.make_icosphere(subdiv=2)
+    bvh = bvh_build.build_bvh(tri_v)
+    nodes, leaf_verts, lm_v, lm_n, links = bvh_build.pack_for_device(
+        bvh, tri_v, tri_n)
+    data = empty_scene_data(n_tris=lm_v.shape[0], n_nodes=nodes.shape[0])
+    data.tri_verts = jnp.asarray(lm_v)
+    data.tri_normals = jnp.asarray(lm_n)
+    data.bvh_nodes = jnp.asarray(nodes)
+    data.leaf_verts = jnp.asarray(leaf_verts)
+    data.bvh_links = jnp.asarray(links)
+
+    n = intersect.TRAVERSE_CHUNK + 777  # force the padded chunked path
+    o = rng.normal(size=(n, 3)).astype(np.float32) * 0.1
+    o[:, 2] = -4.0
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) + 0.5
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    ti = jnp.full((n,), 1e9, jnp.float32)
+
+    t_c, tri_c, u_c, v_c = intersect.bvh_traverse(
+        data, jnp.asarray(o), jnp.asarray(d), ti)
+    t_u, tri_u, u_u, v_u = intersect._bvh_traverse_chunk(
+        data, jnp.asarray(o), jnp.asarray(d), ti)
+    np.testing.assert_array_equal(np.asarray(tri_c), np.asarray(tri_u))
+    np.testing.assert_allclose(np.asarray(t_c), np.asarray(t_u), atol=0)
