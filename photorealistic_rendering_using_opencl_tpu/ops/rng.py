@@ -7,11 +7,16 @@ Every random decision in the tracer draws from a *fixed dimension index*,
 so results are bit-reproducible regardless of device count or sharding --
 the property the reference lacks (SURVEY §2.4 RNG row).
 
-Two schemes, selected statically (the TPU analogue of RNG_TYPE in
-``kernels/header.cl:124-143``):
+Three schemes, selected statically (the TPU analogue of RNG_TYPE in
+``kernels/header.cl:124-143``, which also offers three):
   * "threefry": threefry2x32, 20 rounds -- crypto-grade, default.
   * "pcg4d": the PCG4D hash of Jarzynski & Olano -- ~3x cheaper, fine for
     rendering, used by the perf path.
+  * "mwc": dual 16-bit multiply-with-carry hash in the spirit of the
+    reference's default scheme (prng.cl:5-16) but counter-keyed (the
+    reference advances per-pixel LCG state; a stateful stream cannot be
+    replayed per (pixel, sample, dim), so the same generator is applied
+    as a hash).  Cheapest; statistically weakest.
 """
 from __future__ import annotations
 
@@ -70,6 +75,18 @@ def pcg4d(v: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([x, y, z, w], axis=-1)
 
 
+def mwc_hash(x0: jnp.ndarray, x1: jnp.ndarray) -> jnp.ndarray:
+    """Three rounds of 16-bit multiply-with-carry mixing (prng.cl:5-16 as a
+    counter hash).  x0/x1 uint32 -> uint32 bits."""
+    x0 = x0.astype(_U32)
+    x1 = x1.astype(_U32)
+    for _ in range(3):
+        x0 = _U32(36969) * (x0 & _U32(0xFFFF)) + (x0 >> _U32(16))
+        x1 = _U32(18000) * (x1 & _U32(0xFFFF)) + (x1 >> _U32(16))
+        x0, x1 = x0 ^ (x1 << _U32(16)), x1 ^ (x0 >> _U32(3))
+    return (x0 << _U32(16)) + (x1 & _U32(0xFFFF))
+
+
 def uniform_from_bits(bits: jnp.ndarray) -> jnp.ndarray:
     """uint32 bits -> float32 in [0, 1) via mantissa trick (utils.cl:21-23)."""
     f = jax.lax.bitcast_convert_type(
@@ -116,6 +133,9 @@ class Sampler:
             x0, _ = threefry2x32(self.seed, jnp.broadcast_to(d, self.pixel.shape),
                                  self.pixel, self.sample)
             bits = x0
+        elif self.scheme == "mwc":
+            bits = mwc_hash(self.pixel ^ (self.seed * _U32(0x9E3779B9)),
+                            self.sample * _U32(0x85EBCA6B) ^ d)
         else:
             v = jnp.stack([
                 self.pixel,

@@ -27,6 +27,7 @@ CONFIGS = {
     "envmap": dict(scene="scenes/cornell_simple.json", spp=4, env=True),
     "exponential_fog": dict(scene="scenes/cornell_simple.json", spp=4,
                             exp_medium=True),
+    "materials": dict(scene="scenes/materials.json", spp=4),
 }
 SIZE = 32
 SEED = 9
