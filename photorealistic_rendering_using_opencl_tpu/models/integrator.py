@@ -397,6 +397,12 @@ def trace(cfg: SceneConfig, scene: SceneData, origin, direction,
         state, _ = jax.lax.while_loop(
             cond, body, (state, jnp.asarray(0, jnp.int32)))
     else:
+        # rematerialize each bounce in the backward pass: without this the
+        # scan saves every per-bounce intermediate (hits, BSDF evals, NEE
+        # buffers) and backward memory grows ~50 arrays x N x n_steps;
+        # with it, memory stays constant in depth at the cost of one extra
+        # forward bounce evaluation each
+        @jax.checkpoint
         def body(state, bounce):
             return _sanitize_grad(step(state, bounce)), None
 
