@@ -83,15 +83,39 @@ def init_state(origin, direction) -> PathState:
     )
 
 
+_SELECT_MAX_OBJECTS = 24
+
+
+def _select_rows(arr, mesh_id):
+    """arr[K,...] indexed by mesh_id[N] as a compare/select chain.
+
+    Per-ray gathers cost ~10-50x an elementwise op on TPU; for the small
+    object tables of typical scenes a K-way select chain of broadcast rows
+    is far cheaper (measured 3x whole-frame on cornell, see PERF.md)."""
+    out = jnp.broadcast_to(arr[0],
+                           mesh_id.shape + arr.shape[1:]).astype(arr.dtype)
+    for i in range(1, arr.shape[0]):
+        m = mesh_id == i
+        if arr.ndim > 1:
+            m = m[..., None]
+        out = jnp.where(m, arr[i], out)
+    return out
+
+
 def gather_material(cfg: SceneConfig, scene: SceneData, mesh_id
                     ) -> bsdf_ops.MatProps:
     """Per-ray material fetch; the OBJ mesh (id == n_objects) uses the
     dedicated obj_* slots (src/main.cpp:404-405)."""
     idx = jnp.clip(mesh_id, 0, scene.mat_type.shape[0] - 1)
+    fetch = (_select_rows
+             if scene.mat_type.shape[0] <= _SELECT_MAX_OBJECTS
+             else lambda arr, i: arr[i])
     props = bsdf_ops.MatProps(
-        color=scene.color[idx], eta=scene.eta[idx], k=scene.k[idx],
-        roughness=scene.roughness[idx], mat_type=scene.mat_type[idx],
-        lobes=scene.lobes[idx], dist=scene.dist[idx],
+        color=fetch(scene.color, idx), eta=fetch(scene.eta, idx),
+        k=fetch(scene.k, idx),
+        roughness=fetch(scene.roughness, idx),
+        mat_type=fetch(scene.mat_type, idx),
+        lobes=fetch(scene.lobes, idx), dist=fetch(scene.dist, idx),
     )
     if cfg.has_mesh:
         is_obj = (mesh_id == cfg.n_objects)
@@ -215,11 +239,23 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
     # ---------------- light hit (pathtracing.cl:76-84 + bsdfSample MIS) ---
     is_light = surface & hit.valid & ((mat.mat_type & LIGHT) != 0)
     if cfg.n_lights > 0:
-        d_pdf = lights.direct_pdf(cfg, scene,
-                                  jnp.clip(hit.mesh_id, 0,
-                                           scene.mat_type.shape[0] - 1),
-                                  state.origin, state.direction)
-        w_mis = jnp.where(state.prev_specular | ~state.prev_did_nee,
+        if cfg.pick_random_light and cfg.n_lights > 1:
+            # true light-strategy pdf includes the uniform pick probability
+            d_pdf = lights.direct_pdf(
+                cfg, scene,
+                jnp.clip(hit.mesh_id, 0, scene.mat_type.shape[0] - 1),
+                state.origin, state.direction) / cfg.n_lights
+            nee_able = is_light
+        else:
+            # only light_indices[0] is ever NEE-sampled (base.cl:92
+            # PICK_RANDOM_LIGHT 0): other lights get full BSDF weight, and
+            # the scalar index turns the pdf lookups into broadcast rows
+            li0 = scene.light_indices[0]
+            d_pdf = lights.direct_pdf(cfg, scene, li0, state.origin,
+                                      state.direction)
+            nee_able = is_light & (hit.mesh_id == li0)
+        w_mis = jnp.where(state.prev_specular | ~state.prev_did_nee
+                          | ~nee_able,
                           1.0,
                           power_heuristic(state.prev_pdf, d_pdf))
         if not cfg.enable_light_sampling:

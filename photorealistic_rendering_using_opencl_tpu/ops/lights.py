@@ -90,12 +90,17 @@ def quad_direct_pdf(base, edge0, edge1, normal, area, p, direction):
 # ---------------------------------------------------------------------------
 
 def pick_light(cfg: SceneConfig, scene: SceneData, u: jnp.ndarray):
-    """Return (light_obj_idx[N], pick_pdf) for shading points."""
+    """Return (light_obj_idx, pick_pdf) for shading points.
+
+    Single-light scenes get a SCALAR index: every downstream light-table
+    lookup (position/params/quad_*/color/geom_type) then compiles to a
+    broadcast row read instead of an [N]-gather -- gathers are the
+    dominant cost of the NEE block on TPU.
+    """
     if cfg.pick_random_light and cfg.n_lights > 1:
         li = jnp.clip((u * cfg.n_lights).astype(jnp.int32), 0, cfg.n_lights - 1)
         return scene.light_indices[li], 1.0 / cfg.n_lights
-    idx = scene.light_indices[0]
-    return jnp.broadcast_to(idx, u.shape).astype(jnp.int32), 1.0
+    return scene.light_indices[0], 1.0
 
 
 def sample_direct(cfg: SceneConfig, scene: SceneData, light_idx, p, u1, u2
