@@ -19,6 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from photorealistic_rendering_using_opencl_tpu.ops import mesh_brute
 from photorealistic_rendering_using_opencl_tpu.ops.math import EPS, RAY_INF, normalize
 from photorealistic_rendering_using_opencl_tpu.scene.types import (
     DIEL, ROUGH_DIEL, SceneConfig, SceneData,
@@ -83,7 +84,6 @@ def box_hits(origin, direction, centers, half_extents):
     t = jnp.where(outside, maxmin, minmax)
     # face normal: the axis achieving the entry (or exit, when inside) time
     plane = jnp.where(outside[..., None], real_min, real_max)
-    is_face = plane >= jnp.max(plane, axis=-1, keepdims=True) - 0.0
     # exact comparison like the reference's step() trick
     sel = jnp.where(outside[..., None],
                     plane == maxmin[..., None],
@@ -350,15 +350,17 @@ def _bvh_traverse_chunk(scene: SceneData, origin, direction, t_init,
     return t, tri, u, v
 
 
-def tri_reattach(scene: SceneData, tri, origin, direction):
+def tri_reattach(tri_verts, tri, origin, direction):
     """Differentiable (t, u, v) for an already-selected triangle.
 
     The traversal above runs fully detached; given its chosen primitive
     index, the Moller-Trumbore quantities are recomputed here so gradients
     flow from the hit into ray origin/direction and the mesh vertices --
-    first-order exact at the solution.
+    first-order exact at the solution.  ``tri_verts`` is whichever table
+    matches the index space of ``tri`` (leaf-major for the BVH walk,
+    compact bf_tri_verts for the brute-force kernel).
     """
-    tv = scene.tri_verts[jnp.maximum(tri, 0)]  # [N,3,3]
+    tv = tri_verts[jnp.maximum(tri, 0)]  # [N,3,3]
     p0, p1, p2 = tv[:, 0], tv[:, 1], tv[:, 2]
     e1 = p0 - p1
     e2 = p2 - p0
@@ -395,9 +397,9 @@ def sdf_reattach(origin, direction, t_det, centers, geom_type, params,
     return t_det - f / dfdt
 
 
-def bvh_smooth_normal(scene: SceneData, tri, u, v):
+def bvh_smooth_normal(tri_normals, tri, u, v):
     """Barycentric vertex-normal interpolation (triangle.cl:29-37)."""
-    tn = scene.tri_normals[jnp.maximum(tri, 0)]  # [N,3,3]
+    tn = tri_normals[jnp.maximum(tri, 0)]  # [N,3,3]
     w = 1.0 - u - v
     n = (w[..., None] * tn[:, 0] + u[..., None] * tn[:, 1]
          + v[..., None] * tn[:, 2])
@@ -409,6 +411,24 @@ def bvh_smooth_normal(scene: SceneData, tri, u, v):
 # ===========================================================================
 
 OBJ_MESH_ID_OFFSET = 0  # mesh id == cfg.n_objects
+
+
+def mesh_closest(cfg: SceneConfig, scene: SceneData, origin, direction,
+                 t_init, any_hit: bool = False, active=None):
+    """Dispatch mesh intersection to the configured backend.
+
+    Returns (t_detached [N], tri [N], tri_verts, tri_normals) where the
+    tables match ``tri``'s index space; tri == -1 where nothing beats
+    ``t_init``.
+    """
+    if cfg.mesh_accel == "brute":
+        tm, tri = mesh_brute.mesh_intersect(scene.bf_feat, scene.bf_clusters,
+                                            origin, direction, t_init,
+                                            active=active)
+        return tm, tri, scene.bf_tri_verts, scene.bf_tri_normals
+    tm, tri, _, _ = bvh_traverse(scene, origin, direction, t_init,
+                                 any_hit=any_hit, active=active)
+    return tm, tri, scene.tri_verts, scene.tri_normals
 
 
 def intersect_scene(cfg: SceneConfig, scene: SceneData, origin, direction,
@@ -423,17 +443,10 @@ def intersect_scene(cfg: SceneConfig, scene: SceneData, origin, direction,
     b0, b1 = d1, d1 + cfg.n_boxes
     q0, q1 = b1, b1 + cfg.n_quads
 
-    if cfg.has_mesh:
-        _, tri, _, _ = bvh_traverse(scene, origin, direction, t,
-                                    active=active)
-        hit_m = tri >= 0
-        # reattach gradients through the selected triangle (detached walk)
-        tm, u, v = tri_reattach(scene, tri, origin, direction)
-        nm = normalize(bvh_smooth_normal(scene, tri, u, v))
-        t = jnp.where(hit_m, tm, t)
-        mesh_id = jnp.where(hit_m, cfg.n_objects, mesh_id)
-        normal = jnp.where(hit_m[..., None], nm, normal)
-
+    # Analytic primitives run FIRST: they are cheap broadcasts and the
+    # tightened ``t`` lets the mesh backend prune (cluster skipping in the
+    # brute kernel, box-exit clamping in the BVH walk).  Result is order-
+    # independent: every section keeps the strictly closer hit.
     if cfg.n_spheres:
         ts = sphere_hits(origin, direction,
                          scene.position[s0:s1], scene.params[s0:s1, 0])
@@ -485,6 +498,17 @@ def intersect_scene(cfg: SceneConfig, scene: SceneData, origin, direction,
         nq = scene.quad_normal[q0 + jnp.maximum(arg, 0)]
         normal = jnp.where(better[..., None], nq, normal)
 
+    if cfg.has_mesh:
+        _, tri, tvs, tns = mesh_closest(cfg, scene, origin, direction, t,
+                                        active=active)
+        hit_m = tri >= 0
+        # reattach gradients through the selected triangle (detached walk)
+        tm, u, v = tri_reattach(tvs, tri, origin, direction)
+        nm = normalize(bvh_smooth_normal(tns, tri, u, v))
+        t = jnp.where(hit_m, tm, t)
+        mesh_id = jnp.where(hit_m, cfg.n_objects, mesh_id)
+        normal = jnp.where(hit_m[..., None], nm, normal)
+
     pos = origin + direction * t[..., None]
 
     # backside resolve (intersect.cl:222-233): flip the normal against the
@@ -522,10 +546,6 @@ def shadow_visible(cfg: SceneConfig, scene: SceneData, origin, direction,
     b0, b1 = d1, d1 + cfg.n_boxes
     q0, q1 = b1, b1 + cfg.n_quads
 
-    if cfg.has_mesh:
-        tm, tri, _, _ = bvh_traverse(scene, origin, direction, limit,
-                                     any_hit=True, active=active)
-        blocked = blocked | (tri >= 0)
     if cfg.n_spheres:
         ts = jnp.min(sphere_hits(origin, direction, scene.position[s0:s1],
                                  scene.params[s0:s1, 0]), axis=-1)
@@ -546,4 +566,11 @@ def shadow_visible(cfg: SceneConfig, scene: SceneData, origin, direction,
                                scene.quad_edge1[q0:q1],
                                scene.quad_normal[q0:q1]), axis=-1)
         blocked = blocked | (tq < limit)
+    if cfg.has_mesh:
+        # mesh goes LAST: lanes already occluded by a cheap analytic test
+        # drop out of the (expensive) mesh backend via the active mask
+        act = active if active is not None else jnp.ones((n,), bool)
+        _, tri, _, _ = mesh_closest(cfg, scene, origin, direction, limit,
+                                    any_hit=True, active=act & ~blocked)
+        blocked = blocked | (tri >= 0)
     return ~blocked

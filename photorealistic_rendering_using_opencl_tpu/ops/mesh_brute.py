@@ -1,0 +1,303 @@
+"""MXU brute-force mesh intersection: Moller-Trumbore as one matmul.
+
+The round-1 skip-link BVH walk (ops/intersect.py:bvh_traverse) is correct
+but HBM-gather-bound: every traversal step pays ~184 random bytes per lane
+(PERF.md), which is the one access pattern a TPU cannot do fast.  This
+module replaces the walk for small/medium meshes with the opposite design:
+test EVERY (ray, triangle) pair, but phrase the whole Moller-Trumbore
+system as a single matrix product so the work lands on the MXU with zero
+gathers and zero divergence.
+
+Math.  With the reference's triangle test (kernels/geometry/triangle.cl:
+4-43): e1 = p0-p1, e2 = p2-p0, n = e1 x e2, c = p0 - o, den = n.d,
+t*den = n.c, u*den = (d x c).e2, v*den = (d x c).e1.  Expanding
+d x c = d x p0 - d x o and using the triple-product identity
+(d x p0).e = d.(p0 x e), all four quantities are LINEAR in the 10-vector
+ray feature  f = [o, d, d x o, 1]:
+
+    den    = <f, [0,       n,       0,    0     ]>
+    t*den  = <f, [-n,      0,       0,    n.p0  ]>
+    u*den  = <f, [0,       p0 x e2, -e2,  0     ]>
+    v*den  = <f, [0,       p0 x e1, -e1,  0     ]>
+
+so intersecting B rays against C triangles is ONE [B,16] x [16,4C] matmul
+(features padded 10->16) followed by a cheap elementwise hit test in
+den-multiplied form (no divisions until the winning t).  All coefficient
+vectors are pre-scaled by 1/|n| on the host so den is in [-1,1].
+
+Triangles are kept in BVH leaf order (spatially sorted) and grouped into
+tiles of TILE triangles; each tile's AABB ("cluster") lets the kernel skip
+whole tiles that no ray in the block can hit closer than its current best
+-- the coherence win of a BVH at matmul granularity.  The full coefficient
+table lives in VMEM (256 B/triangle), which caps this path at ~32k
+triangles; larger meshes fall back to the BVH walk.
+
+The hit test is exhaustive, so results equal the BVH walk's closest hit
+(modulo exact-tie ordering).  Traversal stays detached; gradients reattach
+through the selected triangle exactly as before (tri_reattach).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from photorealistic_rendering_using_opencl_tpu.ops.math import EPS
+
+TILE = 512  # triangles per cluster tile (4*TILE = 2048 matmul columns)
+BLOCK = 256  # rays per kernel instance
+FEAT = 16  # ray feature width (10 used, padded for sublane tiling)
+BRUTE_MAX_TRIS = 32768  # above this the VMEM-resident table stops paying
+
+
+class BrutePack(NamedTuple):
+    """Host-packed device tables (all jnp arrays once loaded)."""
+    feat: np.ndarray  # [FEAT, 4*Tpad] coefficient table, tile-grouped cols
+    clusters: np.ndarray  # [NT, 8] per-tile AABB: bmin(3) bmax(3) pad(2)
+    tri_verts: np.ndarray  # [Tpad,3,3] vertices, same (compact) order
+    tri_normals: np.ndarray  # [Tpad,3,3] vertex normals, same order
+
+
+def pack_brute(tri_verts: np.ndarray, tri_normals: np.ndarray,
+               tile: int = TILE) -> BrutePack:
+    """Precompute the coefficient table from spatially-sorted triangles.
+
+    ``tri_verts`` must already be in BVH order (scene/bvh_build.py
+    ``order``) so consecutive tiles are spatially compact; the cluster
+    AABBs then stay tight and the kernel's tile skipping is effective.
+    Padding slots get all-zero coefficients: den = t*den = 0 fails the
+    strict t*den > EPS*den^2 test, so they can never register a hit.
+    """
+    t = tri_verts.shape[0]
+    tpad = max(-(-t // tile) * tile, tile)
+    v = np.zeros((tpad, 3, 3), np.float32)
+    v[:t] = tri_verts
+    nrm = np.zeros((tpad, 3, 3), np.float32)
+    nrm[:t] = tri_normals
+
+    p0, p1, p2 = v[:, 0], v[:, 1], v[:, 2]
+    e1 = p0 - p1
+    e2 = p2 - p0
+    n = np.cross(e1, e2)
+    nlen = np.linalg.norm(n, axis=-1, keepdims=True)
+    degen = nlen[:, 0] < 1e-20
+    s = np.where(degen[:, None], 0.0, 1.0 / np.maximum(nlen, 1e-30))
+
+    coef = np.zeros((4, tpad, FEAT), np.float32)
+    # den = n.d
+    coef[0, :, 3:6] = n * s
+    # t*den = -n.o + n.p0
+    coef[1, :, 0:3] = -n * s
+    coef[1, :, 9] = np.sum(n * p0, axis=-1) * s[:, 0]
+    # u*den = d.(p0 x e2) - (d x o).e2
+    coef[2, :, 3:6] = np.cross(p0, e2) * s
+    coef[2, :, 6:9] = -e2 * s
+    # v*den = d.(p0 x e1) - (d x o).e1
+    coef[3, :, 3:6] = np.cross(p0, e1) * s
+    coef[3, :, 6:9] = -e1 * s
+
+    # column layout per tile j: [den(C) | tden(C) | uden(C) | vden(C)]
+    nt = tpad // tile
+    feat = (coef.reshape(4, nt, tile, FEAT)
+            .transpose(1, 0, 2, 3)  # [nt, 4, tile, FEAT]
+            .reshape(nt * 4 * tile, FEAT)
+            .T.copy())  # [FEAT, 4*tpad]
+
+    clusters = np.zeros((nt, 8), np.float32)
+    vt = v.reshape(nt, tile, 3, 3)
+    live = ~degen.reshape(nt, tile)
+    big = np.float32(3e38)
+    lo = np.where(live[..., None, None], vt, big).min(axis=(1, 2))
+    hi = np.where(live[..., None, None], vt, -big).max(axis=(1, 2))
+    empty = ~live.any(axis=1)
+    clusters[:, 0:3] = np.where(empty[:, None], big, lo)
+    clusters[:, 3:6] = np.where(empty[:, None], -big, hi)
+    return BrutePack(feat, clusters, v, nrm)
+
+
+# ---------------------------------------------------------------------------
+# Shared hit-test math (identical formulas in the XLA and Pallas paths)
+# ---------------------------------------------------------------------------
+
+def _tile_scores(f, a_tile, c):
+    """f [B,FEAT] x a_tile [FEAT,4C] -> per-pair t (inf when no hit).
+
+    Den-multiplied Moller-Trumbore: u,v,w >= 0 and t > EPS become sign
+    tests on products with den, avoiding per-pair division; the division
+    producing t only matters for pairs that already pass.
+    """
+    out = jnp.dot(f, a_tile, preferred_element_type=jnp.float32)
+    den = out[:, 0 * c:1 * c]
+    tden = out[:, 1 * c:2 * c]
+    uden = out[:, 2 * c:3 * c]
+    vden = out[:, 3 * c:4 * c]
+    den2 = den * den
+    m = jnp.minimum(jnp.minimum(uden * den, vden * den),
+                    (den - uden - vden) * den)
+    td = tden * den
+    hit = (m >= 0.0) & (td > EPS * den2)
+    return jnp.where(hit, td / den2, jnp.inf)
+
+
+def _ray_features(origin, direction):
+    o0, o1, o2 = origin[:, 0:1], origin[:, 1:2], origin[:, 2:3]
+    d0, d1, d2 = direction[:, 0:1], direction[:, 1:2], direction[:, 2:3]
+    dxo = jnp.concatenate([d1 * o2 - d2 * o1,
+                           d2 * o0 - d0 * o2,
+                           d0 * o1 - d1 * o0], axis=1)
+    ones = jnp.ones_like(o0)
+    zeros = jnp.zeros(origin.shape[:-1] + (FEAT - 10,), jnp.float32)
+    return jnp.concatenate([origin, direction, dxo, ones, zeros], axis=1)
+
+
+# ---------------------------------------------------------------------------
+# XLA path (CPU tests / reference semantics; scan over tiles)
+# ---------------------------------------------------------------------------
+
+def _intersect_xla(feat, clusters, origin, direction, t_init, active):
+    n = origin.shape[0]
+    c = TILE
+    nt = feat.shape[1] // (4 * c)
+    f = _ray_features(origin, direction)
+    tiles = feat.T.reshape(nt, 4 * c, FEAT).transpose(0, 2, 1)
+
+    def step(carry, inp):
+        best_t, best_i = carry
+        a_tile, off = inp
+        score = _tile_scores(f, a_tile, c)
+        tmin = jnp.min(score, axis=1)
+        targ = jnp.argmin(score, axis=1).astype(jnp.int32) + off
+        better = tmin < best_t
+        return (jnp.where(better, tmin, best_t),
+                jnp.where(better, targ, best_i)), None
+
+    offs = jnp.arange(nt, dtype=jnp.int32) * c
+    init = (jnp.asarray(jnp.broadcast_to(t_init, (n,)), jnp.float32),
+            jnp.full((n,), -1, jnp.int32))
+    (best_t, best_i), _ = jax.lax.scan(step, init, (tiles, offs))
+    got = best_i >= 0
+    if active is not None:
+        got = got & active
+    return (jnp.where(got, best_t, jnp.broadcast_to(t_init, (n,))),
+            jnp.where(got, best_i, -1))
+
+
+# ---------------------------------------------------------------------------
+# Pallas TPU kernel: VMEM-resident table, cluster-skipped matmul tiles
+# ---------------------------------------------------------------------------
+
+def _make_kernel(nt: int, c: int, block: int):
+    def kernel(cb_ref, rays_ref, a_ref, t_ref, i_ref):
+        r = rays_ref[:]
+        o = r[:, 0:3]
+        tinit = r[:, 3:4]
+        d = r[:, 4:7]
+        act = r[:, 7:8] > 0.5
+        f = _ray_features(o, d)
+        safe = jnp.where(jnp.abs(d) < 1e-12,
+                         jnp.where(d >= 0.0, 1e-12, -1e-12), d)
+        inv_d = 1.0 / safe
+
+        t_ref[:] = jnp.where(act, tinit, -jnp.inf)
+        i_ref[:] = jnp.full((block, 1), -1, jnp.int32)
+
+        col = jax.lax.broadcasted_iota(jnp.int32, (block, c), 1)
+        for j in range(nt):
+            # cluster slab test against each ray's current best t: the
+            # whole matmul tile is skipped when no ray can improve.
+            ent = jnp.full((block, 1), EPS, jnp.float32)
+            ext = jnp.full((block, 1), jnp.inf, jnp.float32)
+            for k in range(3):
+                lo = (cb_ref[j, k] - o[:, k:k + 1]) * inv_d[:, k:k + 1]
+                hi = (cb_ref[j, 3 + k] - o[:, k:k + 1]) * inv_d[:, k:k + 1]
+                ent = jnp.maximum(ent, jnp.minimum(lo, hi))
+                ext = jnp.minimum(ext, jnp.maximum(lo, hi))
+            cur = t_ref[:]
+            relevant = jnp.any(ent <= jnp.minimum(ext, cur))
+
+            @pl.when(relevant)
+            def _(j=j):
+                score = _tile_scores(f, a_ref[:, j * 4 * c:(j + 1) * 4 * c],
+                                     c)
+                tmin = jnp.min(score, axis=1, keepdims=True)
+                targ = jnp.min(jnp.where(score <= tmin, col, c), axis=1,
+                               keepdims=True) + j * c
+                cur_t = t_ref[:]
+                better = tmin < cur_t
+                t_ref[:] = jnp.where(better, tmin, cur_t)
+                i_ref[:] = jnp.where(better, targ, i_ref[:])
+
+        got = i_ref[:] >= 0
+        t_ref[:] = jnp.where(got, t_ref[:], tinit)
+
+    return kernel
+
+
+def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
+                      interpret=False):
+    n = origin.shape[0]
+    c = TILE
+    nt = feat.shape[1] // (4 * c)
+    pad = (-n) % BLOCK
+    npad = n + pad
+    act = active if active is not None else jnp.ones((n,), bool)
+    rays = jnp.concatenate([
+        origin,
+        jnp.broadcast_to(t_init, (n,))[:, None],
+        direction,
+        act.astype(jnp.float32)[:, None],
+    ], axis=1)
+    rays = jnp.pad(rays, ((0, pad), (0, 0)))
+
+    grid = npad // BLOCK
+    out_t, out_i = pl.pallas_call(
+        _make_kernel(nt, c, BLOCK),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # clusters [NT,8]
+            pl.BlockSpec((BLOCK, 8), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((FEAT, feat.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((npad, 1), jnp.float32),
+            jax.ShapeDtypeStruct((npad, 1), jnp.int32),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * npad * FEAT * 4 * feat.shape[1],
+            bytes_accessed=npad * 8 * 4 + feat.size * 4,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(clusters, rays, feat)
+    return out_t[:n, 0], out_i[:n, 0]
+
+
+def mesh_intersect(feat, clusters, origin, direction, t_init, active=None):
+    """Closest mesh hit by exhaustive matmul testing.
+
+    Returns (t [N], tri [N] int32 index into the compact bf arrays, -1 on
+    miss); t falls back to t_init when no triangle beats it.  Fully
+    detached (gradients reattach through the chosen triangle).
+    """
+    origin = jax.lax.stop_gradient(origin)
+    direction = jax.lax.stop_gradient(direction)
+    t_init = jax.lax.stop_gradient(t_init)
+    feat = jax.lax.stop_gradient(feat)
+    if active is not None:
+        active = jax.lax.stop_gradient(active)
+    if jax.devices()[0].platform == "tpu":
+        return _intersect_pallas(feat, clusters, origin, direction, t_init,
+                                 active)
+    return _intersect_xla(feat, clusters, origin, direction, t_init, active)

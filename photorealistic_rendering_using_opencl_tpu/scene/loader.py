@@ -15,12 +15,27 @@ import os
 import jax.numpy as jnp
 import numpy as np
 
+from photorealistic_rendering_using_opencl_tpu.ops import mesh_brute
 from photorealistic_rendering_using_opencl_tpu.scene import bvh_build, obj as obj_io
 from photorealistic_rendering_using_opencl_tpu.scene.types import (
     ABS_REFR, ABS_REFR2, BECKMANN, BK7_ETA, BOX, DIEL, LIGHT, QUAD,
     ROUGH_DIEL, SceneConfig, SceneData, SDF, SPHERE,
     default_lobes_for_type, empty_scene_data,
 )
+
+
+def _pick_mesh_accel(n_tris: int) -> str:
+    """Brute-force MXU testing wins while the coefficient table fits VMEM;
+    bigger meshes fall back to the BVH walk.  On CPU (tests, local preview)
+    exhaustive testing has no MXU to lean on, so the crossover is much
+    earlier.  PRT_MESH_ACCEL overrides."""
+    forced = os.environ.get("PRT_MESH_ACCEL", "")
+    if forced in ("brute", "bvh"):
+        return forced
+    import jax
+    limit = (mesh_brute.BRUTE_MAX_TRIS
+             if jax.devices()[0].platform == "tpu" else 2048)
+    return "brute" if n_tris <= limit else "bvh"
 
 _DEFAULT_MODEL_DIRS = (
     "resources/models",
@@ -122,9 +137,14 @@ def build_scene(doc: dict, models_dir: str | None = None,
     n_tris = 0
     bvh = None
     packed = None
+    brute = None
     if tri_v is not None:
         bvh = bvh_build.build_bvh(tri_v)
         n_tris = bvh.order.shape[0]
+        # MXU brute-force tables use the BVH triangle order (spatially
+        # compact tiles) but the un-padded compact layout
+        brute = mesh_brute.pack_brute(np.asarray(tri_v)[bvh.order],
+                                      np.asarray(tri_n)[bvh.order])
         packed = bvh_build.pack_for_device(bvh, tri_v, tri_n)
         tri_v, tri_n = packed[2], packed[3]
 
@@ -240,6 +260,7 @@ def build_scene(doc: dict, models_dir: str | None = None,
         active_mats=int(active_mats),
         alpha_testing=alpha_testing,
         has_env_map=env_map is not None,
+        mesh_accel=_pick_mesh_accel(n_tris),
     )
 
     data.color = jnp.asarray(color)
@@ -267,6 +288,10 @@ def build_scene(doc: dict, models_dir: str | None = None,
         data.bvh_nodes = jnp.asarray(packed[0])
         data.leaf_verts = jnp.asarray(packed[1])
         data.bvh_links = jnp.asarray(packed[4])
+        data.bf_feat = jnp.asarray(brute.feat)
+        data.bf_clusters = jnp.asarray(brute.clusters)
+        data.bf_tri_verts = jnp.asarray(brute.tri_verts)
+        data.bf_tri_normals = jnp.asarray(brute.tri_normals)
         data.obj_color = jnp.asarray(obj_mat.color, jnp.float32)
         data.obj_eta = jnp.asarray(obj_mat.eta, jnp.float32)
         data.obj_k = jnp.asarray(obj_mat.k, jnp.float32)

@@ -144,6 +144,11 @@ class SceneConfig:
     # reference, SURVEY §7 stage 8); only meaningful when has_env_map
     enable_env_sampling: bool = True
 
+    # mesh intersection backend: "brute" = MXU matmul testing with a
+    # VMEM-resident coefficient table (ops/mesh_brute.py, fast for
+    # <= ~32k triangles), "bvh" = skip-link BVH walk (ops/intersect.py).
+    mesh_accel: str = "brute"
+
     @property
     def env_nee(self) -> bool:
         return self.has_env_map and self.enable_env_sampling
@@ -206,6 +211,11 @@ class SceneData:
     bvh_nodes: jnp.ndarray  # [M,8] bmin|bmax|bitcast(miss)|bitcast(meta)
     bvh_links: jnp.ndarray  # [8*M,2] per-octant (hit, miss) threading
     leaf_verts: jnp.ndarray  # [L, LEAF_SIZE*9] leaf triangle rows
+    # MXU brute-force tables (ops/mesh_brute.py), BVH-order compact layout
+    bf_feat: jnp.ndarray  # [16, 4*Tpad] Moller-Trumbore coefficient table
+    bf_clusters: jnp.ndarray  # [NT,8] per-tile AABBs for tile skipping
+    bf_tri_verts: jnp.ndarray  # [Tpad,3,3] triangles in bf index order
+    bf_tri_normals: jnp.ndarray  # [Tpad,3,3] vertex normals, same order
     obj_color: jnp.ndarray  # [3] OBJ mesh material
     obj_eta: jnp.ndarray  # [3]
     obj_k: jnp.ndarray  # [3]
@@ -281,6 +291,13 @@ def empty_scene_data(n_objects: int = 0, n_tris: int = 0, n_nodes: int = 0,
         bvh_nodes=jnp.zeros((m, 8), jnp.float32),
         bvh_links=jnp.zeros((8 * m, 2), jnp.int32),
         leaf_verts=jnp.zeros((1, 36), jnp.float32),
+        bf_feat=jnp.zeros((16, 4), jnp.float32),
+        # inverted bounds: no tile is ever relevant in an empty scene
+        bf_clusters=jnp.tile(
+            jnp.asarray([[3e38, 3e38, 3e38, -3e38, -3e38, -3e38, 0, 0]],
+                        jnp.float32), (1, 1)),
+        bf_tri_verts=jnp.zeros((1, 3, 3), jnp.float32),
+        bf_tri_normals=jnp.zeros((1, 3, 3), jnp.float32),
         obj_color=jnp.ones((3,), jnp.float32),
         obj_eta=_f32(AU_ETA),
         obj_k=_f32(AU_K),
