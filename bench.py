@@ -85,6 +85,36 @@ def _measure(cfg, scene, cam, width, height, spp, reps_lo, reps_hi,
     return per_frame, mean  # mean is already per-frame (timed divides)
 
 
+def _measure_fwd_bwd(cfg, scene, cam, width, spp):
+    """Seconds per fwd+bwd frame: value_and_grad of the mean-image loss
+    w.r.t. the differentiable scene pytree (the BASELINE north-star
+    shape).  One warm + two timed dispatches, best-of."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from photorealistic_rendering_using_opencl_tpu.models import pathtracer
+
+    def loss(scene):
+        img, _ = pathtracer.render.__wrapped__(
+            cfg, scene, cam, width, width, spp, seed=3, method="scan")
+        return jnp.mean(img)
+
+    vg = jax.jit(jax.value_and_grad(loss))
+
+    def run():
+        val, grad = vg(scene)
+        # completion barrier through a host transfer of a reduced scalar
+        return float(val) + float(np.asarray(grad.color).sum())
+
+    run()
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
 def main() -> None:
     import jax
     from photorealistic_rendering_using_opencl_tpu.ops.camera_rays import default_camera
@@ -133,6 +163,18 @@ def main() -> None:
             last_err = f"{type(e).__name__}: {str(e)[:100]}"
             break
         samples_per_sec = width * width * spp / per_frame
+        try:
+            fb_w, fb_spp = min(width, 256), 4
+            fb_per = _measure_fwd_bwd(cfg, scene, cam if fb_w == width
+                                      else default_camera(fb_w, fb_w).pytree(),
+                                      fb_w, fb_spp)
+            fwd_bwd = {
+                "fwd_bwd_samples_per_sec": round(fb_w * fb_w * fb_spp / fb_per, 1),
+                "fwd_bwd_width": fb_w, "fwd_bwd_spp": fb_spp,
+                "fwd_bwd_seconds": round(fb_per, 4),
+            }
+        except Exception as e:
+            fwd_bwd = {"fwd_bwd_error": f"{type(e).__name__}: {str(e)[:80]}"}
         best = {
             "metric": "cornell_pixel_samples_per_sec_per_chip",
             "value": round(samples_per_sec, 1),
@@ -146,6 +188,7 @@ def main() -> None:
                 "mean_radiance": round(mean_rad, 5),
                 "bounces": cfg.max_bounces,
                 "n_triangles": cfg.n_triangles,
+                **fwd_bwd,
             },
         }
     if best is not None:

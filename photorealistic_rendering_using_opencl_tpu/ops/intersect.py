@@ -424,7 +424,7 @@ def mesh_closest(cfg: SceneConfig, scene: SceneData, origin, direction,
     if cfg.mesh_accel == "brute":
         tm, tri = mesh_brute.mesh_intersect(scene.bf_feat, scene.bf_clusters,
                                             origin, direction, t_init,
-                                            active=active)
+                                            active=active, any_hit=any_hit)
         return tm, tri, scene.bf_tri_verts, scene.bf_tri_normals
     tm, tri, _, _ = bvh_traverse(scene, origin, direction, t_init,
                                  any_hit=any_hit, active=active)

@@ -190,7 +190,7 @@ def _intersect_xla(feat, clusters, origin, direction, t_init, active):
 # Pallas TPU kernel: VMEM-resident table, cluster-skipped matmul tiles
 # ---------------------------------------------------------------------------
 
-def _make_kernel(nt: int, c: int, block: int):
+def _make_kernel(nt: int, c: int, block: int, any_hit: bool = False):
     def kernel(cb_ref, rays_ref, a_ref, t_ref, i_ref):
         r = rays_ref[:]
         o = r[:, 0:3]
@@ -228,17 +228,23 @@ def _make_kernel(nt: int, c: int, block: int):
                                keepdims=True) + j * c
                 cur_t = t_ref[:]
                 better = tmin < cur_t
-                t_ref[:] = jnp.where(better, tmin, cur_t)
+                if any_hit:
+                    # shadow variant: an occluded lane parks at -inf so it
+                    # stops making later clusters relevant (traverseShadows
+                    # early-out, bvh.cl:43-114)
+                    t_ref[:] = jnp.where(better, -jnp.inf, cur_t)
+                else:
+                    t_ref[:] = jnp.where(better, tmin, cur_t)
                 i_ref[:] = jnp.where(better, targ, i_ref[:])
 
         got = i_ref[:] >= 0
-        t_ref[:] = jnp.where(got, t_ref[:], tinit)
+        t_ref[:] = jnp.where(got & jnp.isfinite(t_ref[:]), t_ref[:], tinit)
 
     return kernel
 
 
 def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
-                      interpret=False):
+                      any_hit=False, interpret=False):
     n = origin.shape[0]
     c = TILE
     nt = feat.shape[1] // (4 * c)
@@ -255,7 +261,7 @@ def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
 
     grid = npad // BLOCK
     out_t, out_i = pl.pallas_call(
-        _make_kernel(nt, c, BLOCK),
+        _make_kernel(nt, c, BLOCK, any_hit),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # clusters [NT,8]
@@ -284,12 +290,15 @@ def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
     return out_t[:n, 0], out_i[:n, 0]
 
 
-def mesh_intersect(feat, clusters, origin, direction, t_init, active=None):
+def mesh_intersect(feat, clusters, origin, direction, t_init, active=None,
+                   any_hit=False):
     """Closest mesh hit by exhaustive matmul testing.
 
     Returns (t [N], tri [N] int32 index into the compact bf arrays, -1 on
-    miss); t falls back to t_init when no triangle beats it.  Fully
-    detached (gradients reattach through the chosen triangle).
+    miss); t falls back to t_init when no triangle beats it.  With
+    ``any_hit`` the returned t is t_init everywhere and only tri >= 0
+    (occluded) is meaningful; occluded lanes stop scanning clusters early.
+    Fully detached (gradients reattach through the chosen triangle).
     """
     origin = jax.lax.stop_gradient(origin)
     direction = jax.lax.stop_gradient(direction)
@@ -299,5 +308,5 @@ def mesh_intersect(feat, clusters, origin, direction, t_init, active=None):
         active = jax.lax.stop_gradient(active)
     if jax.devices()[0].platform == "tpu":
         return _intersect_pallas(feat, clusters, origin, direction, t_init,
-                                 active)
+                                 active, any_hit=any_hit)
     return _intersect_xla(feat, clusters, origin, direction, t_init, active)

@@ -75,6 +75,20 @@ def test_pallas_kernel_matches_xla(mesh_setup, rng):
     np.testing.assert_array_equal(np.asarray(t_p), np.asarray(t_x))
 
 
+def test_any_hit_matches_closest_occlusion(mesh_setup, rng):
+    scene, bp = mesh_setup
+    o, d = _rays(rng, 512)
+    feat, cl = jnp.asarray(bp.feat), jnp.asarray(bp.clusters)
+    tinit = jnp.full((512,), 2.0)
+    t_c, tri_c = mesh_brute._intersect_pallas(feat, cl, o, d, tinit, None,
+                                              interpret=True)
+    t_a, tri_a = mesh_brute._intersect_pallas(feat, cl, o, d, tinit, None,
+                                              any_hit=True, interpret=True)
+    # occlusion agrees with the closest-hit test and t degrades to t_init
+    assert ((np.asarray(tri_a) >= 0) == (np.asarray(tri_c) >= 0)).all()
+    np.testing.assert_array_equal(np.asarray(t_a), np.full(512, 2.0))
+
+
 def test_active_mask_and_t_init(mesh_setup, rng):
     scene, bp = mesh_setup
     o, d = _rays(rng, 512)
