@@ -191,35 +191,35 @@ def _intersect_xla(feat, clusters, origin, direction, t_init, active):
 # ---------------------------------------------------------------------------
 
 def _make_kernel(nt: int, c: int, block: int, any_hit: bool = False):
-    def kernel(cb_ref, rays_ref, a_ref, t_ref, i_ref):
+    """Pure matmul kernel; all irregularity analysis happens outside.
+
+    Cluster relevance (which matmul tiles some ray in the block could
+    improve on) is precomputed vectorized in XLA (`_block_relevance`) and
+    arrives as one int32 row per block in SMEM.  The kernel itself does
+    zero slab math and zero cross-lane reductions — the round-1 in-kernel
+    per-tile [block,1] slab walk ran at 1/128 lane utilisation and cost
+    ~29 ms per call even with every lane dead (PERF.md).  A block whose
+    rays are all dead or all miss the mesh now costs ``nt`` scalar branch
+    tests.
+    """
+    def kernel(rel_ref, rays_ref, a_ref, t_ref, i_ref):
         r = rays_ref[:]
         o = r[:, 0:3]
         tinit = r[:, 3:4]
         d = r[:, 4:7]
         act = r[:, 7:8] > 0.5
         f = _ray_features(o, d)
-        safe = jnp.where(jnp.abs(d) < 1e-12,
-                         jnp.where(d >= 0.0, 1e-12, -1e-12), d)
-        inv_d = 1.0 / safe
 
+        # inactive lanes park at -inf so they can never record a hit even
+        # when their block runs a tile for other lanes
         t_ref[:] = jnp.where(act, tinit, -jnp.inf)
         i_ref[:] = jnp.full((block, 1), -1, jnp.int32)
 
         col = jax.lax.broadcasted_iota(jnp.int32, (block, c), 1)
+        pid = pl.program_id(0)
         for j in range(nt):
-            # cluster slab test against each ray's current best t: the
-            # whole matmul tile is skipped when no ray can improve.
-            ent = jnp.full((block, 1), EPS, jnp.float32)
-            ext = jnp.full((block, 1), jnp.inf, jnp.float32)
-            for k in range(3):
-                lo = (cb_ref[j, k] - o[:, k:k + 1]) * inv_d[:, k:k + 1]
-                hi = (cb_ref[j, 3 + k] - o[:, k:k + 1]) * inv_d[:, k:k + 1]
-                ent = jnp.maximum(ent, jnp.minimum(lo, hi))
-                ext = jnp.minimum(ext, jnp.maximum(lo, hi))
-            cur = t_ref[:]
-            relevant = jnp.any(ent <= jnp.minimum(ext, cur))
-
-            @pl.when(relevant)
+            bit = (rel_ref[pid, j // 32] >> (j % 32)) & 1
+            @pl.when(bit != 0)
             def _(j=j):
                 score = _tile_scores(f, a_ref[:, j * 4 * c:(j + 1) * 4 * c],
                                      c)
@@ -229,9 +229,9 @@ def _make_kernel(nt: int, c: int, block: int, any_hit: bool = False):
                 cur_t = t_ref[:]
                 better = tmin < cur_t
                 if any_hit:
-                    # shadow variant: an occluded lane parks at -inf so it
-                    # stops making later clusters relevant (traverseShadows
-                    # early-out, bvh.cl:43-114)
+                    # shadow variant: only occlusion (tri >= 0) matters;
+                    # an occluded lane parks at -inf so it never updates
+                    # again (traverseShadows early-out, bvh.cl:43-114)
                     t_ref[:] = jnp.where(better, -jnp.inf, cur_t)
                 else:
                     t_ref[:] = jnp.where(better, tmin, cur_t)
@@ -241,6 +241,33 @@ def _make_kernel(nt: int, c: int, block: int, any_hit: bool = False):
         t_ref[:] = jnp.where(got & jnp.isfinite(t_ref[:]), t_ref[:], tinit)
 
     return kernel
+
+
+def _block_relevance(clusters, origin, direction, t_init, act, nblocks,
+                     block):
+    """[nblocks, ceil(nt/32)] uint32 bitmask: does any active ray in block
+    b enter cluster j closer than its t_init?  Vectorized slab test left
+    to XLA — it fuses into a few passes over [N, nt] and replaces the
+    kernel-resident scalar walk that dominated the round-1 kernel's fixed
+    cost."""
+    nt = clusters.shape[0]
+    safe = jnp.where(jnp.abs(direction) < 1e-12,
+                     jnp.where(direction >= 0.0, 1e-12, -1e-12), direction)
+    inv_d = 1.0 / safe
+    lo = (clusters[None, :, 0:3] - origin[:, None, :]) * inv_d[:, None, :]
+    hi = (clusters[None, :, 3:6] - origin[:, None, :]) * inv_d[:, None, :]
+    ent = jnp.maximum(jnp.max(jnp.minimum(lo, hi), axis=-1), EPS)  # [N,nt]
+    ext = jnp.min(jnp.maximum(lo, hi), axis=-1)
+    rel = (ent <= jnp.minimum(ext, t_init[:, None])) & act[:, None]
+    rel = rel.reshape(nblocks, block, nt).any(axis=1)  # [nblocks, nt]
+    nwords = -(-nt // 32)
+    npad_bits = nwords * 32
+    relp = jnp.pad(rel, ((0, 0), (0, npad_bits - nt)))
+    weights = (jnp.uint32(1) << (jnp.arange(npad_bits, dtype=jnp.uint32)
+                                 % 32)).reshape(nwords, 32)
+    words = jnp.sum(relp.reshape(nblocks, nwords, 32).astype(jnp.uint32)
+                    * weights[None], axis=-1, dtype=jnp.uint32)
+    return words
 
 
 def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
@@ -260,11 +287,13 @@ def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
     rays = jnp.pad(rays, ((0, pad), (0, 0)))
 
     grid = npad // BLOCK
+    rel = _block_relevance(clusters, rays[:, 0:3], rays[:, 4:7],
+                           rays[:, 3], rays[:, 7] > 0.5, grid, BLOCK)
     out_t, out_i = pl.pallas_call(
         _make_kernel(nt, c, BLOCK, any_hit),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # clusters [NT,8]
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rel bitmask [G,W]
             pl.BlockSpec((BLOCK, 8), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((FEAT, feat.shape[1]), lambda i: (0, 0),
@@ -286,7 +315,7 @@ def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(clusters, rays, feat)
+    )(rel, rays, feat)
     return out_t[:n, 0], out_i[:n, 0]
 
 
