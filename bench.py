@@ -94,17 +94,29 @@ def _measure_fwd_bwd(cfg, scene, cam, width, spp):
     import numpy as np
     from photorealistic_rendering_using_opencl_tpu.models import pathtracer
 
-    def loss(scene):
+    # differentiate w.r.t. the float leaves only (the scene pytree also
+    # carries int/bool tables -- geometry types, BVH links -- that grad
+    # rejects)
+    leaves, treedef = jax.tree_util.tree_flatten(scene)
+    is_f = [jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)
+            for l in leaves]
+    f_leaves = [l for l, f in zip(leaves, is_f) if f]
+    rest = [l for l, f in zip(leaves, is_f) if not f]
+
+    def loss(f_leaves):
+        it_f, it_r = iter(f_leaves), iter(rest)
+        merged = [next(it_f) if f else next(it_r) for f in is_f]
+        sc = jax.tree_util.tree_unflatten(treedef, merged)
         img, _ = pathtracer.render.__wrapped__(
-            cfg, scene, cam, width, width, spp, seed=3, method="scan")
+            cfg, sc, cam, width, width, spp, seed=3, method="scan")
         return jnp.mean(img)
 
     vg = jax.jit(jax.value_and_grad(loss))
 
     def run():
-        val, grad = vg(scene)
+        val, grad = vg(f_leaves)
         # completion barrier through a host transfer of a reduced scalar
-        return float(val) + float(np.asarray(grad.color).sum())
+        return float(val) + float(sum(np.asarray(g).sum() for g in grad))
 
     run()
     best = float("inf")

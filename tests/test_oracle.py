@@ -1,0 +1,81 @@
+"""Forward-radiance parity vs an independent port of the REFERENCE integrator.
+
+tests/oracle.py implements the reference's estimator (pathtracing.cl:4-120,
+base.cl:31-192) in plain numpy with no imports from the package; these tests
+assert converged-mean agreement, so they fail if the JAX renderer drifts from
+*reference* semantics rather than from its own pinned past (the golden tests'
+job).  Tolerances are calibrated to the Monte-Carlo noise floor of the sample
+counts used (~4-7 sigma).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+import oracle  # noqa: E402
+
+SCENE = os.path.join(os.path.dirname(__file__), "..", "scenes",
+                     "cornell_simple.json")
+
+
+def _repo_render(width, height, spp, seed, **cfg_overrides):
+    from photorealistic_rendering_using_opencl_tpu.models import pathtracer
+    from photorealistic_rendering_using_opencl_tpu.ops.camera_rays import (
+        default_camera,
+    )
+    from photorealistic_rendering_using_opencl_tpu.scene.loader import load_scene
+
+    cfg, scene = load_scene(SCENE)
+    if cfg_overrides:
+        cfg = dataclasses.replace(cfg, **cfg_overrides)
+    cam = default_camera(width, height).pytree()
+    img, _ = pathtracer.render(cfg, scene, cam, width, height, spp, seed=seed)
+    return np.asarray(img)
+
+
+def test_forward_radiance_matches_reference_port():
+    """NEE+MIS path (the live estimator) vs the oracle, converged means."""
+    w = 8
+    spp = 2048
+    ref = oracle.render(SCENE, w, w, spp, seed=11)
+    img = _repo_render(w, w, spp, seed=23)
+
+    # image mean: ~6x the MC sigma of the mean at this sample count
+    rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.015, f"image-mean drift vs reference port: {rel:.4f}"
+
+    # per-pixel: generous bound, catches localized estimator bugs (wrong
+    # MIS weight on a wall, flipped normal on one primitive, ...)
+    assert np.abs(img - ref).max() < 0.08, (
+        f"per-pixel drift {np.abs(img - ref).max():.4f}")
+
+
+def test_forward_radiance_matches_reference_port_no_nee():
+    """Pure BSDF transport (light sampling off): validates the emission
+    gating (pathtracing.cl:76-84) and throughput bookkeeping without the
+    NEE/MIS machinery in the loop."""
+    w = 6
+    ref = oracle.render(SCENE, w, w, 6144, seed=3, light_sampling=False)
+    img = _repo_render(w, w, 6144, seed=7, enable_light_sampling=False)
+    rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.04, f"no-NEE image-mean drift: {rel:.4f}"
+
+
+def test_final_vertex_mis_term_is_subnoise():
+    """The reference collects the bsdfSample light contribution at budget-
+    terminated vertices (handleSurface runs before the budget check); the
+    JAX renderer's carried single-intersect scheme drops that term.  Pin
+    that the term stays below the comparison noise floor on the parity
+    config so the deviation remains immaterial (documented in
+    models/integrator.py)."""
+    w = 6
+    spp = 4096
+    full = oracle.render(SCENE, w, w, spp, seed=1)
+    nofin = oracle.render(SCENE, w, w, spp, seed=2, final_vertex_mis=False)
+    rel = abs(full.mean() - nofin.mean()) / full.mean()
+    assert rel < 0.01, f"final-vertex MIS term unexpectedly large: {rel:.4f}"
