@@ -48,7 +48,7 @@ def _measure(cfg, scene, cam, width, height, spp, reps_lo, reps_hi,
         def body(acc, seed):
             img, _ = pathtracer.render.__wrapped__(
                 cfg, scene, cam, width, height, spp, seed=seed,
-                method="while")
+                method="regen")
             return acc + img, None
         acc, _ = jax.lax.scan(body, jnp.zeros((height, width, 3), jnp.float32),
                               jnp.arange(1, reps + 1, dtype=jnp.uint32))

@@ -71,9 +71,16 @@ def render(cfg: SceneConfig, scene: SceneData, cam_pytree,
            method: str = "scan"):
     """Full render -> (hdr [H,W,3], alpha [H,W]).
 
-    method="scan" is reverse-mode differentiable; method="while" is the
-    faster forward-only path (see integrator.trace).
+    method="scan" is reverse-mode differentiable; method="while" runs the
+    per-sample early-exit loop; method="regen" (fastest, forward-only)
+    regenerates each lane's next sample the moment its path dies, so lane
+    occupancy stays ~100% instead of every sample batch paying the
+    worst-lane path length.  All three produce bit-identical radiance per
+    (pixel, sample): the RNG is counter-keyed, not schedule-keyed.
     """
+    if method == "regen":
+        return _render_regen(cfg, scene, cam_pytree, width, height, spp,
+                             seed, rng_scheme, jitter)
 
     def body(carry, sample_idx):
         acc, aac = carry
@@ -89,6 +96,88 @@ def render(cfg: SceneConfig, scene: SceneData, cam_pytree,
         jnp.arange(spp, dtype=jnp.uint32))
     img = (acc / spp).reshape(height, width, 3)
     alpha = (aac / spp).reshape(height, width)
+    return img, alpha
+
+
+def _render_regen(cfg: SceneConfig, scene: SceneData, cam_pytree,
+                  width: int, height: int, spp: int, seed,
+                  rng_scheme: str, jitter: bool):
+    """Path-regeneration render loop (forward only).
+
+    TPU-shaped version of the reference's own execution model (main.cl:
+    122-136: persistent per-pixel path state, terminated paths restart on
+    the next launch): each lane owns one pixel, traces its samples
+    back-to-back, and banks radiance into a per-lane accumulator -- no
+    scatters, no compaction, full vector occupancy until the final tail.
+    Total steps ~= spp * E[path length] + worst tail, vs the per-sample
+    while-loop's spp * worst-lane length.
+    """
+    px, py = pixel_grid(width, height)
+    pixel_idx = py.astype(jnp.uint32) * width + px.astype(jnp.uint32)
+    n = width * height
+    n_steps = integrator.n_steps_for(cfg)
+    max_iters = jnp.uint32(spp * n_steps + 64)  # hard safety bound
+
+    state0 = integrator.init_state(jnp.zeros((n, 3), jnp.float32),
+                                   jnp.zeros((n, 3), jnp.float32))
+    state0 = state0._replace(alive=jnp.zeros((n,), bool))
+    carry0 = (
+        state0,
+        jnp.zeros((n,), jnp.uint32),  # cur_sample: path being traced
+        jnp.ones((n,), bool),         # pending: cur_sample not yet started
+        jnp.zeros((n,), jnp.uint32),  # bounce index within current path
+        jnp.zeros((n,), jnp.float32),  # alpha bank
+        jnp.zeros((), jnp.uint32),    # iteration counter
+    )
+
+    def cond(carry):
+        state, cur, pending, _, _, it = carry
+        work = state.alive | (pending & (cur < spp))
+        return jnp.any(work) & (it < max_iters)
+
+    def body(carry):
+        state, cur, pending, bounce, alpha_sum, it = carry
+        regen = pending & (cur < spp)
+        o, d = camera_rays_for_sample(cam_pytree, width, height, px, py,
+                                      pixel_idx, cur, seed, rng_scheme,
+                                      jitter)
+        r1 = regen[..., None]
+        f1 = jnp.ones((n,), jnp.float32)
+        i0 = jnp.zeros((n,), jnp.int32)
+        state = state._replace(
+            origin=jnp.where(r1, o, state.origin),
+            direction=jnp.where(r1, d, state.direction),
+            mask=jnp.where(r1, 1.0, state.mask),
+            alpha=jnp.where(regen, f1, state.alpha),
+            alive=state.alive | regen,
+            prev_pdf=jnp.where(regen, f1, state.prev_pdf),
+            prev_specular=state.prev_specular | regen,  # main.cl:133
+            prev_did_nee=state.prev_did_nee & ~regen,
+            n_diff=jnp.where(regen, i0, state.n_diff),
+            n_spec=jnp.where(regen, i0, state.n_spec),
+            n_trans=jnp.where(regen, i0, state.n_trans),
+            n_scatter=jnp.where(regen, i0, state.n_scatter),
+            n_total=jnp.where(regen, i0, state.n_total),
+        )
+        pending = pending & ~regen
+        bounce = jnp.where(regen, 0, bounce)
+
+        sampler = Sampler(pixel_idx, cur, seed=seed, scheme=rng_scheme,
+                          dim=integrator.CAMERA_DIMS
+                          + bounce * integrator.DIMS_PER_BOUNCE)
+        was_alive = state.alive
+        state = integrator.bounce_step(cfg, scene, state, sampler, bounce)
+        bounce = jnp.where(was_alive, bounce + 1, bounce)
+
+        died = was_alive & ~state.alive
+        alpha_sum = alpha_sum + jnp.where(died, state.alpha, 0.0)
+        cur = jnp.where(died, cur + 1, cur)
+        pending = pending | died
+        return (state, cur, pending, bounce, alpha_sum, it + 1)
+
+    state, _, _, _, alpha_sum, _ = jax.lax.while_loop(cond, body, carry0)
+    img = (state.acc / spp).reshape(height, width, 3)
+    alpha = (alpha_sum / spp).reshape(height, width)
     return img, alpha
 
 
@@ -149,13 +238,24 @@ def progressive_image(state: ProgressiveState):
 @functools.partial(jax.jit, static_argnames=("cfg", "width", "height", "mode"))
 def render_aov(cfg: SceneConfig, scene: SceneData, cam_pytree,
                width: int, height: int, mode: str = "normal", seed=0):
-    """mode in {normal, albedo, depth, mesh_id}."""
+    """mode in {normal, albedo, depth, mesh_id, traversal}."""
     px, py = pixel_grid(width, height)
     pixel_idx = py.astype(jnp.uint32) * width + px.astype(jnp.uint32)
     sample_arr = jnp.zeros_like(pixel_idx)
     origin, direction = camera_rays_for_sample(
         cam_pytree, width, height, px, py, pixel_idx, sample_arr, seed,
         jitter=False)
+    if mode == "traversal":
+        # traversal-cost heatmap (VIEW_STACK_INDEX, kernels/main.cl:6-13):
+        # normalized per frame so hotspots read directly
+        from photorealistic_rendering_using_opencl_tpu.ops.intersect import (
+            traversal_cost,
+        )
+        steps = traversal_cost(cfg, scene, origin, direction)
+        h = steps.astype(jnp.float32) / jnp.maximum(
+            jnp.max(steps).astype(jnp.float32), 1.0)
+        out = jnp.stack([h, 1.0 - h, jnp.zeros_like(h)], axis=-1)
+        return out.reshape(height, width, 3)
     hit = intersect_scene(cfg, scene, origin, direction)
     if mode == "normal":
         out = hit.normal * 0.5 + 0.5

@@ -259,7 +259,8 @@ def bvh_traverse(scene: SceneData, origin, direction, t_init,
 
 
 def _bvh_traverse_chunk(scene: SceneData, origin, direction, t_init,
-                        any_hit: bool = False, active=None):
+                        any_hit: bool = False, active=None,
+                        count_steps: bool = False):
     """Closest-hit over the threaded BVH.
 
     Returns (t[N], tri[N] (-1 = none), u[N], v[N]).  The walk replaces the
@@ -293,11 +294,11 @@ def _bvh_traverse_chunk(scene: SceneData, origin, direction, t_init,
     # on v5e (lockstep lanes stall through the inner walk and the extra
     # loop sync outweighs the saved bytes), so the flat form stays.
     def cond(carry):
-        node, t, tri, u, v = carry
+        node, t, tri, u, v = carry[:5]
         return jnp.any(node < n_nodes)
 
     def body(carry):
-        node, t, tri, u, v = carry
+        node, t, tri, u, v = carry[:5]
         nid = jnp.minimum(node, n_nodes - 1)
         row = scene.bvh_nodes[nid]  # ONE [N,8] gather for the whole step
         meta = jax.lax.bitcast_convert_type(row[:, 7], jnp.int32)
@@ -331,6 +332,8 @@ def _bvh_traverse_chunk(scene: SceneData, origin, direction, t_init,
             # end sentinel as soon as any occluder is found
             nxt = jnp.where(tri >= 0, n_nodes, nxt)
         node = jnp.where(active, nxt, node)
+        if count_steps:
+            return node, t, tri, u, v, carry[5] + active.astype(jnp.int32)
         return node, t, tri, u, v
 
     # masked-out lanes park at the sentinel immediately: the while_loop
@@ -341,11 +344,15 @@ def _bvh_traverse_chunk(scene: SceneData, origin, direction, t_init,
         start = jnp.where(jax.lax.stop_gradient(active), start, n_nodes)
     carry0 = (
         start,
-        jnp.asarray(t_init, jnp.float32),
+        jnp.asarray(jnp.broadcast_to(t_init, (nray,)), jnp.float32),
         jnp.full((nray,), -1, jnp.int32),
         jnp.zeros((nray,), jnp.float32),
         jnp.zeros((nray,), jnp.float32),
     )
+    if count_steps:
+        carry0 = carry0 + (jnp.zeros((nray,), jnp.int32),)
+        node, t, tri, u, v, steps = jax.lax.while_loop(cond, body, carry0)
+        return t, tri, u, v, steps
     node, t, tri, u, v = jax.lax.while_loop(cond, body, carry0)
     return t, tri, u, v
 
@@ -429,6 +436,25 @@ def mesh_closest(cfg: SceneConfig, scene: SceneData, origin, direction,
     tm, tri, _, _ = bvh_traverse(scene, origin, direction, t_init,
                                  any_hit=any_hit, active=active)
     return tm, tri, scene.tri_verts, scene.tri_normals
+
+
+def traversal_cost(cfg: SceneConfig, scene: SceneData, origin, direction):
+    """Per-ray traversal work estimate for the debug AOV (the reference's
+    VIEW_STACK_INDEX heatmap, kernels/main.cl:6-13,144-147).
+
+    brute backend: number of matmul tiles the ray's frustum makes relevant;
+    bvh backend: node-visit count of the skip-link walk.
+    """
+    n = origin.shape[0]
+    t_init = jnp.full((n,), RAY_INF, jnp.float32)
+    if not cfg.has_mesh:
+        return jnp.zeros((n,), jnp.int32)
+    if cfg.mesh_accel == "brute":
+        return mesh_brute.ray_cluster_count(scene.bf_clusters, origin,
+                                            direction, t_init)
+    _, _, _, _, steps = _bvh_traverse_chunk(scene, origin, direction,
+                                            t_init, count_steps=True)
+    return steps
 
 
 def intersect_scene(cfg: SceneConfig, scene: SceneData, origin, direction,

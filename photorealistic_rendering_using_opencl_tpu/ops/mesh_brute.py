@@ -270,6 +270,21 @@ def _block_relevance(clusters, origin, direction, t_init, act, nblocks,
     return words
 
 
+def ray_cluster_count(clusters, origin, direction, t_init):
+    """Per-ray count of matmul tiles whose AABB the ray enters closer than
+    ``t_init`` -- the brute backend's traversal-cost metric for the debug
+    AOV (VIEW_STACK_INDEX analogue, kernels/main.cl:6-13,144-147)."""
+    safe = jnp.where(jnp.abs(direction) < 1e-12,
+                     jnp.where(direction >= 0.0, 1e-12, -1e-12), direction)
+    inv_d = 1.0 / safe
+    lo = (clusters[None, :, 0:3] - origin[:, None, :]) * inv_d[:, None, :]
+    hi = (clusters[None, :, 3:6] - origin[:, None, :]) * inv_d[:, None, :]
+    ent = jnp.maximum(jnp.max(jnp.minimum(lo, hi), axis=-1), EPS)
+    ext = jnp.min(jnp.maximum(lo, hi), axis=-1)
+    rel = ent <= jnp.minimum(ext, jnp.broadcast_to(t_init, ent.shape[:1])[:, None])
+    return jnp.sum(rel, axis=-1).astype(jnp.int32)
+
+
 def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
                       any_hit=False, interpret=False):
     n = origin.shape[0]

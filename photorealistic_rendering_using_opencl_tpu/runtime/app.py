@@ -38,7 +38,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-o", "--output", default="render.png")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--aov", default=None,
-                   choices=(None, "normal", "albedo", "depth", "mesh_id"))
+                   choices=(None, "normal", "albedo", "depth", "mesh_id",
+                            "traversal"))
     p.add_argument("--checkpoint", default=None,
                    help="checkpoint file; save every --checkpoint-interval "
                         "samples and resume from it when present")

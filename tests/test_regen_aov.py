@@ -1,0 +1,63 @@
+"""Path-regeneration renderer + traversal-cost AOV."""
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from photorealistic_rendering_using_opencl_tpu.models import pathtracer
+from photorealistic_rendering_using_opencl_tpu.ops.camera_rays import default_camera
+from photorealistic_rendering_using_opencl_tpu.ops.intersect import traversal_cost
+from photorealistic_rendering_using_opencl_tpu.scene.loader import load_scene
+
+
+def test_regen_matches_while_exactly():
+    """Per-(pixel, sample) RNG keying makes the schedules equivalent; only
+    float accumulation order differs."""
+    for scene_path in ("scenes/cornell_simple.json", "scenes/cornell.json"):
+        cfg, scene = load_scene(scene_path)
+        cam = default_camera(24, 24).pytree()
+        a, aa = pathtracer.render(cfg, scene, cam, 24, 24, 3, seed=4,
+                                  method="while")
+        b, ab = pathtracer.render(cfg, scene, cam, 24, 24, 3, seed=4,
+                                  method="regen")
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-5)
+        np.testing.assert_allclose(np.asarray(aa), np.asarray(ab),
+                                   rtol=1e-5, atol=1e-5)
+
+
+def _cam_rays(width):
+    cam = default_camera(width, width).pytree()
+    px, py = pathtracer.pixel_grid(width, width)
+    pix = py.astype(jnp.uint32) * width + px.astype(jnp.uint32)
+    return pathtracer.camera_rays_for_sample(cam, width, width, px, py,
+                                             pix, jnp.zeros_like(pix), 0,
+                                             jitter=False)
+
+
+def test_traversal_cost_both_backends():
+    cfg, scene = load_scene("scenes/cornell.json")
+    o, d = _cam_rays(24)
+    cfg_br = dataclasses.replace(cfg, mesh_accel="brute")
+    brute = np.asarray(traversal_cost(cfg_br, scene, o, d))
+    n_tiles = scene.bf_clusters.shape[0]
+    assert brute.min() >= 0 and brute.max() <= n_tiles
+    assert brute.max() > 0  # some ray sees the teapot region
+
+    cfg_b = dataclasses.replace(cfg, mesh_accel="bvh")
+    steps = np.asarray(traversal_cost(cfg_b, scene, o, d))
+    assert steps.min() >= 0
+    # rays toward the mesh must walk deeper than rays that miss the root
+    assert steps.max() > np.percentile(steps, 10)
+
+
+def test_traversal_aov_image():
+    cfg, scene = load_scene("scenes/cornell.json")
+    cam = default_camera(16, 16).pytree()
+    img = np.asarray(pathtracer.render_aov(cfg, scene, cam, 16, 16,
+                                           mode="traversal"))
+    assert img.shape == (16, 16, 3)
+    assert np.isfinite(img).all()
+    assert img.max() <= 1.0 and img.min() >= 0.0
