@@ -102,7 +102,16 @@ def render(cfg: SceneConfig, scene: SceneData, cam_pytree,
 def _render_regen(cfg: SceneConfig, scene: SceneData, cam_pytree,
                   width: int, height: int, spp: int, seed,
                   rng_scheme: str, jitter: bool):
-    """Path-regeneration render loop (forward only).
+    px, py = pixel_grid(width, height)
+    acc, alpha = trace_regen(cfg, scene, cam_pytree, width, height, spp,
+                             px, py, seed, rng_scheme, jitter)
+    return (acc.reshape(height, width, 3), alpha.reshape(height, width))
+
+
+def trace_regen(cfg: SceneConfig, scene: SceneData, cam_pytree,
+                width: int, height: int, spp: int, px, py, seed,
+                rng_scheme: str = "pcg4d", jitter: bool = True):
+    """Path-regeneration render loop (forward only) over a pixel slice.
 
     TPU-shaped version of the reference's own execution model (main.cl:
     122-136: persistent per-pixel path state, terminated paths restart on
@@ -111,10 +120,12 @@ def _render_regen(cfg: SceneConfig, scene: SceneData, cam_pytree,
     scatters, no compaction, full vector occupancy until the final tail.
     Total steps ~= spp * E[path length] + worst tail, vs the per-sample
     while-loop's spp * worst-lane length.
+
+    ``px/py`` may be any flat pixel slice (the sharded path passes this
+    shard's pixels).  Returns per-lane (radiance_mean [N,3], alpha [N]).
     """
-    px, py = pixel_grid(width, height)
     pixel_idx = py.astype(jnp.uint32) * width + px.astype(jnp.uint32)
-    n = width * height
+    n = px.shape[0]
     n_steps = integrator.n_steps_for(cfg)
     max_iters = jnp.uint32(spp * n_steps + 64)  # hard safety bound
 
@@ -176,9 +187,7 @@ def _render_regen(cfg: SceneConfig, scene: SceneData, cam_pytree,
         return (state, cur, pending, bounce, alpha_sum, it + 1)
 
     state, _, _, _, alpha_sum, _ = jax.lax.while_loop(cond, body, carry0)
-    img = (state.acc / spp).reshape(height, width, 3)
-    alpha = (alpha_sum / spp).reshape(height, width)
-    return img, alpha
+    return state.acc / spp, alpha_sum / spp
 
 
 # ---------------------------------------------------------------------------

@@ -84,9 +84,15 @@ def render_sharded(cfg: SceneConfig, scene: SceneData, cam: Any,
     px = jnp.pad(px, (0, n_pad - n))
     py = jnp.pad(py, (0, n_pad - n))
 
+    def _shard_body(scene, cam, px, py, seed):
+        # path-regeneration loop per shard (fastest forward path); pixel
+        # slices keep the counter-based RNG keyed on GLOBAL pixel ids, so
+        # the image is bitwise independent of the device count
+        return pathtracer.trace_regen(cfg, scene, cam, width, height, spp,
+                                      px, py, seed, rng_scheme)
+
     fn = shard_map(
-        functools.partial(_render_block, cfg, width, height, spp, rng_scheme,
-                          method="while"),
+        _shard_body,
         mesh=mesh,
         in_specs=(P(), P(), P(RAYS_AXIS), P(RAYS_AXIS), P()),
         out_specs=(P(RAYS_AXIS), P(RAYS_AXIS)),

@@ -52,7 +52,7 @@ def timed(name, fn, lo=4, hi=16):
     per = max(t_hi - t_lo, 1e-9) / (hi - lo)
     if per < 0.05 * (t_hi / hi):
         per = t_hi / hi
-    print(f"{name:44s} {per*1e3:9.2f} ms")
+    print(f"{name:44s} {per*1e3:9.2f} ms", flush=True)
     return per
 
 
