@@ -45,8 +45,13 @@ def build_parser() -> argparse.ArgumentParser:
                         "samples and resume from it when present")
     p.add_argument("--checkpoint-interval", type=int, default=32)
     p.add_argument("--interactive", action="store_true",
-                   help="terminal shell (reference key bindings, one key "
-                        "per line + enter; 'p' save, 'q' quit)")
+                   help="terminal viewer: continuous accumulation with a "
+                        "live ANSI preview; reference key bindings plus "
+                        "mouse-equivalent orbit/zoom/pan commands")
+    p.add_argument("--preview", action="store_true", default=None,
+                   help="force the live terminal preview on (default: "
+                        "only when stdout is a tty)")
+    p.add_argument("--no-preview", dest="preview", action="store_false")
     p.add_argument("--sharded", action="store_true",
                    help="shard pixels over all visible devices (pjit/"
                         "shard_map data parallelism)")
@@ -175,46 +180,117 @@ def _report(w, h, spp, dt, cfg):
           f"bound)")
 
 
+def _stdin_ready() -> bool:
+    import select
+    try:
+        return bool(select.select([sys.stdin], [], [], 0.0)[0])
+    except (OSError, ValueError):
+        return True  # closed/odd stdin: fall back to blocking reads
+
+
+def handle_command(key: str, icam, reset_cls):
+    """Apply one shell command to the camera.
+
+    Returns (new_icam, camera_changed, handled).  Besides the reference
+    keyboard map, the reference's MOUSE operations
+    (include/GL/user_interaction.h:45-90) map to commands:
+      * left-drag rotate  -> ``orbit DX DY`` (changeYaw/changePitch x0.01)
+      * right-drag / scroll zoom -> ``zoom D`` and the +/- keys
+      * middle-drag pan   -> ``pan DY`` (changeAltitude x0.01)
+    """
+    from photorealistic_rendering_using_opencl_tpu.runtime.camera import KEY_BINDINGS
+
+    parts = key.split()
+    op = parts[0] if parts else ""
+    try:
+        nums = [float(x) for x in parts[1:]]
+    except ValueError:
+        return icam, False, False
+    if op == "orbit" and len(nums) == 2:
+        icam.change_yaw(nums[0] * 0.01)
+        icam.change_pitch(-nums[1] * 0.01)
+        return icam, True, True
+    if op == "zoom" and len(nums) == 1:
+        icam.change_radius(-nums[0] * 0.01)
+        return icam, True, True
+    if op == "pan" and len(nums) == 1:
+        icam.change_altitude(-nums[0] * 0.01)
+        return icam, True, True
+    if op == "+":
+        icam.change_radius(-0.05)
+        return icam, True, True
+    if op == "-":
+        icam.change_radius(0.05)
+        return icam, True, True
+    if key in ("space", " "):
+        return reset_cls(), True, True
+    if key in KEY_BINDINGS:
+        KEY_BINDINGS[key](icam)
+        return icam, True, True
+    return icam, False, False
+
+
 def run_interactive(args) -> int:
     from photorealistic_rendering_using_opencl_tpu.models import pathtracer
+    from photorealistic_rendering_using_opencl_tpu.runtime import terminal
     from photorealistic_rendering_using_opencl_tpu.runtime.camera import (
-        InteractiveCamera, KEY_BINDINGS,
+        InteractiveCamera,
     )
 
     cfg, scene = _load(args)
     W, H = args.width, args.height
     icam = InteractiveCamera(resolution=(W, H))
     state = pathtracer.progressive_init(W, H, seed=args.seed)
+    preview = args.preview or (args.preview is None and sys.stdout.isatty())
 
-    print("interactive shell -- one command per line:")
+    print("interactive viewer -- accumulates continuously; commands:")
     print("  w/a/s/d/r/f move   g/h aperture   t/y focal   "
-          "left/right/up/down orbit")
+          "left/right/up/down orbit keys")
+    print("  orbit DX DY (mouse rotate)   zoom D / + / - (scroll)   "
+          "pan DY (middle drag)")
     print("  space reset camera   p save image   n samples   q quit")
-    while True:
+    if preview:
+        sys.stdout.write(terminal.CLEAR)
+
+    def reset_cls():
+        return InteractiveCamera(resolution=(W, H))
+
+    running = True
+    while running:
+        # accumulate continuously (the reference's free-running render loop,
+        # src/main.cpp:465-480) until input arrives
         state = pathtracer.progressive_step(
             cfg, scene, icam.build_render_camera().pytree(), state)
-        sys.stdout.write(f"\r[{int(state.samples)} spp] > ")
-        sys.stdout.flush()
+        n = int(state.samples)  # also acts as the completion barrier
+        if preview and (n <= 2 or n % 4 == 0):
+            from photorealistic_rendering_using_opencl_tpu.ops.tonemap import tonemap
+            img, _ = pathtracer.progressive_image(state)
+            sys.stdout.write(terminal.CURSOR_HOME
+                             + terminal.ansi_image(np.asarray(tonemap(img)))
+                             + f"\n[{n} spp] > \x1b[K")
+            sys.stdout.flush()
+        if not _stdin_ready():
+            continue
         line = sys.stdin.readline()
         if not line:
             break
         key = line.strip().lower()
+        if not key:
+            continue
         if key == "q":
-            break
+            running = False
         elif key == "p":
             img, alpha = pathtracer.progressive_image(state)
             _export(args.output, img, alpha if args.alpha else None,
                     args.encoder)
-        elif key == "space" or key == " ":
-            icam = InteractiveCamera(resolution=(W, H))
-            state = pathtracer.progressive_reset(state)
         elif key == "n":
-            print(f"\n{int(state.samples)} samples accumulated")
-        elif key in KEY_BINDINGS:
-            KEY_BINDINGS[key](icam)
-            state = pathtracer.progressive_reset(state)
-        elif key:
-            print(f"\nunknown key {key!r}")
+            print(f"\n{n} samples accumulated")
+        else:
+            icam, changed, handled = handle_command(key, icam, reset_cls)
+            if changed:
+                state = pathtracer.progressive_reset(state)
+            elif not handled:
+                print(f"\nunknown command {key!r}")
     img, alpha = pathtracer.progressive_image(state)
     _export(args.output, img, alpha if args.alpha else None, args.encoder)
     return 0
