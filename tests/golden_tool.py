@@ -28,6 +28,12 @@ CONFIGS = {
     "exponential_fog": dict(scene="scenes/cornell_simple.json", spp=4,
                             exp_medium=True),
     "materials": dict(scene="scenes/materials.json", spp=4),
+    # MIS edge cases (VERDICT round 1 weak #7)
+    "multi_light_pick": dict(scene="scenes/multilight.json", spp=8,
+                             pick_random_light=True),
+    "alpha_test": dict(scene="scenes/cornell_simple.json", spp=8,
+                       alpha=True),
+    "coat_grazing": dict(scene="scenes/coat_grazing.json", spp=8),
 }
 SIZE = 32
 SEED = 9
@@ -43,6 +49,8 @@ def render_config(name: str):
 
     c = CONFIGS[name]
     kwargs = {}
+    if c.get("alpha"):
+        kwargs["alpha_testing"] = True
     if c.get("mesh"):
         kwargs["mesh_override"] = make_icosphere(
             subdiv=1, radius=0.7, center=(0.0, 0.8, 0.0))
@@ -61,6 +69,9 @@ def render_config(name: str):
         cfg, scene = build_scene(doc, **kwargs)
     else:
         cfg, scene = load_scene(c["scene"], **kwargs)
+    if c.get("pick_random_light"):
+        import dataclasses
+        cfg = dataclasses.replace(cfg, pick_random_light=True)
     cam = default_camera(SIZE, SIZE).pytree()
     img, alpha = pathtracer.render(cfg, scene, cam, SIZE, SIZE, c["spp"],
                                    seed=SEED)

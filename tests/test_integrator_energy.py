@@ -46,3 +46,46 @@ def test_white_furnace_bsdf_only():
     cfg = dataclasses.replace(cfg, enable_env_sampling=False)
     img = _furnace(cfg, scene)
     assert abs(img.mean() - 1.0) < 0.02, img.mean()
+
+
+def test_pick_random_light_unbiased():
+    """With >1 light, the random-pick strategy (pdf/n compensation,
+    base.cl:9 PICK_RANDOM_LIGHT semantics with the missing 1/N fixed) and
+    the first-light-only strategy are both unbiased: converged means must
+    agree within MC noise."""
+    from photorealistic_rendering_using_opencl_tpu.scene.loader import load_scene
+
+    cfg, scene = load_scene("scenes/multilight.json")
+    assert cfg.n_lights == 2
+    cam = default_camera(20, 20).pytree()
+    spp = 512
+    pick = dataclasses.replace(cfg, pick_random_light=True)
+    a = np.asarray(pathtracer.render(cfg, scene, cam, 20, 20, spp, seed=5,
+                                     method="regen")[0])
+    b = np.asarray(pathtracer.render(pick, scene, cam, 20, 20, spp, seed=9,
+                                     method="regen")[0])
+    rel = abs(a.mean() - b.mean()) / a.mean()
+    assert rel < 0.03, (a.mean(), b.mean())
+
+
+def test_alpha_testing_channel():
+    """-alpha mode: background pixels transparent, foreground opaque
+    (header.cl:39 ALPHA_TESTING; coverage = primary-ray hit, documented
+    deviation from the reference's per-bounce alpha bookkeeping)."""
+    doc = {
+        "settings": {"MAX_BOUNCES": 4, "MAX_DIFF_BOUNCES": 4,
+                     "MAX_SPEC_BOUNCES": 4, "MAX_TRANS_BOUNCES": 4},
+        "scene": {"spheres": [
+            {"pos": [0.0, 2.5, 0.0], "radius": 0.5,
+             "material": {"color": [20.0, 20.0, 20.0], "type": 0}},
+            {"pos": [0.0, 0.0, 0.0], "radius": 0.9,
+             "material": {"color": [0.7, 0.7, 0.7]}}]},
+    }
+    cfg, scene = build_scene(doc, alpha_testing=True)
+    cam = default_camera(24, 24).pytree()
+    img, alpha = pathtracer.render(cfg, scene, cam, 24, 24, 16, seed=2,
+                                   method="regen")
+    alpha = np.asarray(alpha)
+    assert alpha.min() < 0.05   # sky pixels transparent
+    assert alpha.max() > 0.95   # sphere pixels opaque (even though most
+    #                             secondary bounces escape to the sky)
