@@ -367,8 +367,12 @@ def tri_reattach(tri_verts, tri, origin, direction):
     matches the index space of ``tri`` (leaf-major for the BVH walk,
     compact bf_tri_verts for the brute-force kernel).
     """
-    tv = tri_verts[jnp.maximum(tri, 0)]  # [N,3,3]
-    p0, p1, p2 = tv[:, 0], tv[:, 1], tv[:, 2]
+    # gather from the FLAT [T,9] view: a [N,9] row gather keeps the
+    # native T(8,128) layout, where a [N,3,3] gather forces a T(4,128)
+    # layout plus a whole-array relayout copy (~3 ms/bounce at 262k lanes,
+    # tools/trace_bounce.py fusion.359/363 + copy.602/605)
+    tv = tri_verts.reshape(-1, 9)[jnp.maximum(tri, 0)]  # [N,9]
+    p0, p1, p2 = tv[:, 0:3], tv[:, 3:6], tv[:, 6:9]
     e1 = p0 - p1
     e2 = p2 - p0
     n = jnp.cross(e1, e2)
@@ -405,11 +409,14 @@ def sdf_reattach(origin, direction, t_det, centers, geom_type, params,
 
 
 def bvh_smooth_normal(tri_normals, tri, u, v):
-    """Barycentric vertex-normal interpolation (triangle.cl:29-37)."""
-    tn = tri_normals[jnp.maximum(tri, 0)]  # [N,3,3]
+    """Barycentric vertex-normal interpolation (triangle.cl:29-37).
+
+    Flat [N,9] gather for the same layout reason as tri_reattach.
+    """
+    tn = tri_normals.reshape(-1, 9)[jnp.maximum(tri, 0)]  # [N,9]
     w = 1.0 - u - v
-    n = (w[..., None] * tn[:, 0] + u[..., None] * tn[:, 1]
-         + v[..., None] * tn[:, 2])
+    n = (w[..., None] * tn[:, 0:3] + u[..., None] * tn[:, 3:6]
+         + v[..., None] * tn[:, 6:9])
     return n
 
 

@@ -202,12 +202,11 @@ def _make_kernel(nt: int, c: int, block: int, any_hit: bool = False):
     rays are all dead or all miss the mesh now costs ``nt`` scalar branch
     tests.
     """
-    def kernel(rel_ref, rays_ref, a_ref, t_ref, i_ref):
-        r = rays_ref[:]
-        o = r[:, 0:3]
-        tinit = r[:, 3:4]
-        d = r[:, 4:7]
-        act = r[:, 7:8] > 0.5
+    def kernel(rel_ref, o_ref, d_ref, ta_ref, a_ref, t_ref, i_ref):
+        o = o_ref[:]
+        d = d_ref[:]
+        tinit = ta_ref[:, 0:1]
+        act = ta_ref[:, 1:2] > 0.5
         f = _ray_features(o, d)
 
         # inactive lanes park at -inf so they can never record a hit even
@@ -254,10 +253,16 @@ def _block_relevance(clusters, origin, direction, t_init, act, nblocks,
     safe = jnp.where(jnp.abs(direction) < 1e-12,
                      jnp.where(direction >= 0.0, 1e-12, -1e-12), direction)
     inv_d = 1.0 / safe
-    lo = (clusters[None, :, 0:3] - origin[:, None, :]) * inv_d[:, None, :]
-    hi = (clusters[None, :, 3:6] - origin[:, None, :]) * inv_d[:, None, :]
-    ent = jnp.maximum(jnp.max(jnp.minimum(lo, hi), axis=-1), EPS)  # [N,nt]
-    ext = jnp.min(jnp.maximum(lo, hi), axis=-1)
+    # axis-at-a-time accumulation keeps intermediates at [N,nt] instead of
+    # materializing [N,nt,3] broadcasts (3x the HBM traffic; the whole
+    # bounce step is traffic-bound, PERF.md round-2 budget)
+    ent = jnp.full((origin.shape[0], nt), EPS, jnp.float32)
+    ext = jnp.full((origin.shape[0], nt), jnp.inf, jnp.float32)
+    for k in range(3):
+        lo = (clusters[None, :, k] - origin[:, k:k + 1]) * inv_d[:, k:k + 1]
+        hi = (clusters[None, :, 3 + k] - origin[:, k:k + 1]) * inv_d[:, k:k + 1]
+        ent = jnp.maximum(ent, jnp.minimum(lo, hi))
+        ext = jnp.minimum(ext, jnp.maximum(lo, hi))
     rel = (ent <= jnp.minimum(ext, t_init[:, None])) & act[:, None]
     rel = rel.reshape(nblocks, block, nt).any(axis=1)  # [nblocks, nt]
     nwords = -(-nt // 32)
@@ -293,23 +298,29 @@ def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
     pad = (-n) % BLOCK
     npad = n + pad
     act = active if active is not None else jnp.ones((n,), bool)
-    rays = jnp.concatenate([
-        origin,
-        jnp.broadcast_to(t_init, (n,))[:, None],
-        direction,
-        act.astype(jnp.float32)[:, None],
-    ], axis=1)
-    rays = jnp.pad(rays, ((0, pad), (0, 0)))
+    t_init = jnp.broadcast_to(t_init, (n,))
+    # one small [N,2] pack instead of the round-1 [N,8] concat (the rays
+    # copy cost ~2 ms/bounce at 262k lanes); origin/direction pass through
+    # unchanged
+    ta = jnp.stack([t_init, act.astype(jnp.float32)], axis=1)
+    if pad:
+        origin = jnp.pad(origin, ((0, pad), (0, 0)))
+        direction = jnp.pad(direction, ((0, pad), (0, 0)), constant_values=1.0)
+        ta = jnp.pad(ta, ((0, pad), (0, 0)))
 
     grid = npad // BLOCK
-    rel = _block_relevance(clusters, rays[:, 0:3], rays[:, 4:7],
-                           rays[:, 3], rays[:, 7] > 0.5, grid, BLOCK)
+    rel = _block_relevance(clusters, origin, direction, ta[:, 0],
+                           ta[:, 1] > 0.5, grid, BLOCK)
     out_t, out_i = pl.pallas_call(
         _make_kernel(nt, c, BLOCK, any_hit),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # rel bitmask [G,W]
-            pl.BlockSpec((BLOCK, 8), lambda i: (i, 0),
+            pl.BlockSpec((BLOCK, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, 3), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((BLOCK, 2), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((FEAT, feat.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -330,7 +341,7 @@ def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(rel, rays, feat)
+    )(rel, origin, direction, ta, feat)
     return out_t[:n, 0], out_i[:n, 0]
 
 

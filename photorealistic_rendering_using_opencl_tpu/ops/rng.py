@@ -102,7 +102,8 @@ class Sampler:
     the batch shape of every draw.
     """
 
-    __slots__ = ("pixel", "sample", "seed", "dim", "scheme")
+    __slots__ = ("pixel", "sample", "seed", "scheme",
+                 "_dim0", "_off", "_blk", "_blk_win")
 
     def __init__(self, pixel: jnp.ndarray, sample: jnp.ndarray,
                  seed: int | jnp.ndarray = 0, scheme: str = "pcg4d",
@@ -110,8 +111,19 @@ class Sampler:
         self.pixel = jnp.asarray(pixel, _U32)
         self.sample = jnp.asarray(sample, _U32)
         self.seed = jnp.asarray(seed, _U32)
-        self.dim = dim
+        # ``dim`` must be a multiple of 4 (stream windows, see _draw);
+        # integrator layouts (CAMERA_DIMS=8, DIMS_PER_BOUNCE=16) are.
+        if isinstance(dim, int):
+            assert dim % 4 == 0, "Sampler dim start must be 4-aligned"
+        self._dim0 = dim
+        self._off = 0  # python int: draws consumed so far
         self.scheme = scheme
+        self._blk = None  # pcg4d 4-word block cache (see _draw)
+        self._blk_win = -1
+
+    @property
+    def dim(self):
+        return self._dim0 + self._off
 
     def next1d(self) -> jnp.ndarray:
         u, = self.nextnd(1)
@@ -128,21 +140,33 @@ class Sampler:
         return tuple(outs)
 
     def _draw(self) -> jnp.ndarray:
-        d = jnp.asarray(self.dim, _U32)
         if self.scheme == "threefry":
+            d = jnp.asarray(self._dim0, _U32) + _U32(self._off)
             x0, _ = threefry2x32(self.seed, jnp.broadcast_to(d, self.pixel.shape),
                                  self.pixel, self.sample)
             bits = x0
         elif self.scheme == "mwc":
+            d = jnp.asarray(self._dim0, _U32) + _U32(self._off)
             bits = mwc_hash(self.pixel ^ (self.seed * _U32(0x9E3779B9)),
                             self.sample * _U32(0x85EBCA6B) ^ d)
         else:
-            v = jnp.stack([
-                self.pixel,
-                self.sample,
-                jnp.broadcast_to(d, self.pixel.shape),
-                jnp.broadcast_to(self.seed, self.pixel.shape),
-            ], axis=-1)
-            bits = pcg4d(v)[..., 0]
-        self.dim = self.dim + 1
+            # pcg4d yields FOUR well-mixed words per hash (Jarzynski &
+            # Olano use all four lanes): hash once per 4-dim window and
+            # hand out one word per draw -- 4x fewer hash passes over the
+            # batch (each pass is a full HBM round trip at megapixel lane
+            # counts).  Stream stays a pure function of (pixel, sample,
+            # seed, dim) with dim = dim0 + off, dim0 4-aligned.
+            win = self._off // 4
+            if self._blk_win != win:
+                base = (jnp.asarray(self._dim0, _U32) >> _U32(2)) + _U32(win)
+                v = jnp.stack([
+                    self.pixel,
+                    self.sample,
+                    jnp.broadcast_to(base, self.pixel.shape),
+                    jnp.broadcast_to(self.seed, self.pixel.shape),
+                ], axis=-1)
+                self._blk = pcg4d(v)
+                self._blk_win = win
+            bits = self._blk[..., self._off % 4]
+        self._off += 1
         return uniform_from_bits(bits)

@@ -34,10 +34,26 @@ def test_uniformity_and_range():
 
 def test_stream_independence_across_dims():
     for scheme in ("pcg4d", "threefry"):
-        a = _draws(scheme, dim=3)
-        b = _draws(scheme, dim=4)
+        a = _draws(scheme, dim=4)
+        b = _draws(scheme, dim=8)
         corr = np.corrcoef(a, b)[0, 1]
         assert abs(corr) < 0.01, scheme
+
+
+def test_stream_independence_within_window():
+    """pcg4d hands out 4 words per hash; consecutive draws (same hash,
+    different words) must still be uncorrelated."""
+    from photorealistic_rendering_using_opencl_tpu.ops.rng import Sampler
+    import jax.numpy as jnp
+
+    pix = jnp.arange(4096, dtype=jnp.uint32)
+    s = Sampler(pix, jnp.zeros_like(pix), seed=1, scheme="pcg4d", dim=0)
+    a, b, c, d = (np.asarray(x) for x in s.nextnd(4))
+    for x, y in ((a, b), (a, c), (a, d), (b, c), (c, d)):
+        assert abs(np.corrcoef(x, y)[0, 1]) < 0.05
+    # and across the window boundary
+    e = np.asarray(s.next1d())
+    assert abs(np.corrcoef(d, e)[0, 1]) < 0.05
 
 
 def test_stream_independence_across_samples():

@@ -66,5 +66,35 @@ def main():
         print(f"{us/1e3:9.2f} ms  {name[:110]}")
 
 
-if __name__ == "__main__":
+if __name__ == "__main__" and not os.environ.get("DETAIL"):
     main()
+
+
+def detail():
+    files = glob.glob(TRACE_DIR + "/**/*.trace.json.gz", recursive=True)
+    with gzip.open(files[0], "rt") as f:
+        trace = json.load(f)
+    events = [e for e in trace.get("traceEvents", [])
+              if e.get("ph") == "X" and e.get("dur")]
+    # find the device lane (pid/tid) hosting xla ops: pick events named like fusions
+    agg = {}
+    for e in events:
+        name = e.get("name", "?")
+        if not any(k in name for k in ("fusion", "copy", "closed_call",
+                                       "reduce", "while", "select", "convert",
+                                       "broadcast", "iota", "scatter",
+                                       "gather", "sort", "dot", "cosine",
+                                       "concatenate", "slice", "bitcast",
+                                       "transpose", "pad", "dynamic")):
+            continue
+        args = e.get("args", {})
+        src = args.get("source_info") or args.get("long_name") or ""
+        key = (name.split(".")[0], src[:90])
+        agg[key] = agg.get(key, 0) + e["dur"]
+    top = sorted(agg.items(), key=lambda kv: -kv[1])[:40]
+    for (name, src), us in top:
+        print(f"{us/1e3:9.2f} ms  {name:28s} {src}")
+
+
+if __name__ == "__main__" and os.environ.get("DETAIL"):
+    detail()
