@@ -57,6 +57,12 @@ def render_sample(cfg: SceneConfig, scene: SceneData, cam_pytree,
     origin, direction = camera_rays_for_sample(
         cam_pytree, width, height, px, py, pixel_idx, sample_arr, seed,
         rng_scheme, jitter)
+    if method == "bdpt":
+        from photorealistic_rendering_using_opencl_tpu.models import bidirectional
+        rad = bidirectional.trace(cfg, scene, origin, direction, pixel_idx,
+                                  sample_arr, seed=seed,
+                                  rng_scheme=rng_scheme)
+        return rad, jnp.ones(rad.shape[:1], jnp.float32)
     return integrator.trace(cfg, scene, origin, direction, pixel_idx,
                             sample_arr, seed=seed, rng_scheme=rng_scheme,
                             method=method)

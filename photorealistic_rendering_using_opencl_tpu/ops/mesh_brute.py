@@ -48,8 +48,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from photorealistic_rendering_using_opencl_tpu.ops.math import EPS
 
-TILE = 512  # triangles per cluster tile (4*TILE = 2048 matmul columns)
-BLOCK = 256  # rays per kernel instance
+import os as _os
+
+TILE = int(_os.environ.get("PRT_MESH_TILE", "512"))  # tris per cluster tile
+BLOCK = int(_os.environ.get("PRT_MESH_BLOCK", "256"))  # rays per instance
 FEAT = 16  # ray feature width (10 used, padded for sublane tiling)
 BRUTE_MAX_TRIS = 32768  # above this the VMEM-resident table stops paying
 
