@@ -22,9 +22,11 @@ Estimator notes (same expectation as the reference, fewer intersects):
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from photorealistic_rendering_using_opencl_tpu.ops import (
@@ -163,6 +165,11 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
 
     hit = intersect_scene(cfg, scene, state.origin, state.direction,
                           active=state.alive)
+    # tag the (detached-traversal) hit for the remat policy: the bounce
+    # scan rematerializes everything EXCEPT these, so the backward sweep
+    # re-runs the cheap elementwise shading but never the mesh kernels
+    hit = jax.tree_util.tree_map(
+        lambda x: jax.ad_checkpoint.checkpoint_name(x, "hit"), hit)
     mat = gather_material(cfg, scene, hit.mesh_id)
     alive = state.alive
 
@@ -453,12 +460,15 @@ def trace(cfg: SceneConfig, scene: SceneData, origin, direction,
         state, _ = jax.lax.while_loop(
             cond, body, (state, jnp.asarray(0, jnp.int32)))
     else:
-        # rematerialize each bounce in the backward pass: without this the
-        # scan saves every per-bounce intermediate (hits, BSDF evals, NEE
-        # buffers) and backward memory grows ~50 arrays x N x n_steps;
-        # with it, memory stays constant in depth at the cost of one extra
-        # forward bounce evaluation each
-        @jax.checkpoint
+        # rematerialize each bounce in the backward pass: without a remat
+        # the scan saves every per-bounce intermediate (~50 arrays x N x
+        # n_steps). The save_only_these_names policy KEEPS the per-bounce
+        # hit records (9 floats/lane, detached traversal output) so the
+        # backward sweep re-runs only the cheap elementwise shading --
+        # never the traversal kernels, which dominate the forward cost
+        @functools.partial(
+            jax.checkpoint,
+            policy=jax.checkpoint_policies.save_only_these_names("hit"))
         def body(state, bounce):
             return _sanitize_grad(step(state, bounce)), None
 
