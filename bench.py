@@ -85,14 +85,28 @@ def _measure(cfg, scene, cam, width, height, spp, reps_lo, reps_hi,
     return per_frame, mean  # mean is already per-frame (timed divides)
 
 
-def _measure_fwd_bwd(cfg, scene, cam, width, spp):
+def _measure_fwd_bwd(cfg, scene, cam, width, spp, max_bounces=8):
     """Seconds per fwd+bwd frame: value_and_grad of the mean-image loss
     w.r.t. the differentiable scene pytree (the BASELINE north-star
-    shape).  One warm + two timed dispatches, best-of."""
+    shape).  One warm + two timed dispatches, best-of.
+
+    The differentiable scan is capped at ``max_bounces`` (training-depth
+    budget): the remote compiler struggles with a 32-step differentiated
+    scan, and inverse-rendering workloads run at single-digit depths.
+    """
+    import dataclasses
+
     import jax
     import jax.numpy as jnp
     import numpy as np
     from photorealistic_rendering_using_opencl_tpu.models import pathtracer
+
+    if cfg.max_bounces > max_bounces:
+        cfg = dataclasses.replace(
+            cfg, max_bounces=max_bounces,
+            max_diff_bounces=min(cfg.max_diff_bounces, max_bounces),
+            max_spec_bounces=min(cfg.max_spec_bounces, max_bounces),
+            max_trans_bounces=min(cfg.max_trans_bounces, max_bounces))
 
     # differentiate w.r.t. the float leaves only (the scene pytree also
     # carries int/bool tables -- geometry types, BVH links -- that grad
@@ -184,6 +198,7 @@ def main() -> None:
                 "fwd_bwd_samples_per_sec": round(fb_w * fb_w * fb_spp / fb_per, 1),
                 "fwd_bwd_width": fb_w, "fwd_bwd_spp": fb_spp,
                 "fwd_bwd_seconds": round(fb_per, 4),
+                "fwd_bwd_bounces": 8,
             }
         except Exception as e:
             fwd_bwd = {"fwd_bwd_error": f"{type(e).__name__}: {str(e)[:80]}"}
