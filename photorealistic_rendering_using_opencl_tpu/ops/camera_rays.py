@@ -100,3 +100,11 @@ def generate_rays(cam: dict, width: int, height: int,
                        jnp.broadcast_to(cam["position"], aperture.shape))
     direction = normalize(point_on_image - origin)
     return origin, direction
+
+
+def sample_time(u, shutter_open: float = 0.0, shutter_close: float = 1.0):
+    """Per-ray time sample -- the reference's dormant motion-blur hook
+    (``ray.time = next1D(...)``, kernels/camera.cl:63; nothing consumes it
+    there either).  Wire into generate_rays callers when animated scene
+    support lands; kept for capability parity."""
+    return shutter_open + (shutter_close - shutter_open) * u

@@ -23,7 +23,7 @@ from photorealistic_rendering_using_opencl_tpu.ops import mesh_brute
 from photorealistic_rendering_using_opencl_tpu.ops.math import EPS, RAY_INF, normalize
 from photorealistic_rendering_using_opencl_tpu.scene.types import (
     DIEL, ROUGH_DIEL, SceneConfig, SceneData,
-    SDF_BOX, SDF_PLANE, SDF_ROUND_BOX, SDF_SPHERE,
+    SDF_BOX, SDF_CYLINDER, SDF_PLANE, SDF_ROUND_BOX, SDF_SPHERE, SDF_TORUS,
 )
 
 
@@ -135,10 +135,21 @@ def sd_primitive(geom_type, center_rel, params):
              + jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1))
     d_round = jnp.linalg.norm(jnp.maximum(q, 0.0), axis=-1) - params[..., 3]
     d_plane = jnp.sum(p * params[..., :3], axis=-1) + params[..., 3]
+    # cylinder/torus: the reference's sdCylinder/sdTorus (sdf.cl:21-35),
+    # dead there (no type bits), live here as JSON types 8/9
+    len_xz = jnp.sqrt(jnp.maximum(p[..., 0] ** 2 + p[..., 2] ** 2, 1e-30))
+    d_cyl = jnp.maximum(len_xz - params[..., 0],
+                        jnp.abs(p[..., 1]) - params[..., 1])
+    # torus params: (major radius, minor radius) in slots 0/1
+    d_torus = jnp.sqrt(jnp.maximum(
+        (len_xz - params[..., 0]) ** 2 + p[..., 1] ** 2, 1e-30)
+    ) - params[..., 1]
     d = jnp.where((geom_type & SDF_SPHERE) != 0, d_sphere,
         jnp.where((geom_type & SDF_BOX) != 0, d_box,
         jnp.where((geom_type & SDF_ROUND_BOX) != 0, d_round,
-        jnp.where((geom_type & SDF_PLANE) != 0, d_plane, jnp.inf))))
+        jnp.where((geom_type & SDF_PLANE) != 0, d_plane,
+        jnp.where((geom_type & SDF_CYLINDER) != 0, d_cyl,
+        jnp.where((geom_type & SDF_TORUS) != 0, d_torus, jnp.inf))))))
     return d
 
 

@@ -142,3 +142,22 @@ def exponential_transmittance(sigma_t, origin, direction, dist,
     x = falloff_scale * jnp.sum((origin - upt) * fdir, axis=-1)
     dx = falloff_scale * jnp.sum(direction * fdir, axis=-1)
     return jnp.exp(-sigma_t * _density_integral(x, dx, dist)[..., None])
+
+
+def equiangular_sample(origin, direction, t_max, light_pos, xi):
+    """Equiangular distance sampling toward a point/sphere light.
+
+    Port of ``sampleEquiAngular`` (kernels/media.cl:34-55) -- present but
+    never called by the reference integrator; exposed here for volumetric
+    NEE experiments.  Returns (dist [N], pdf [N]) with dist measured along
+    the ray and the pdf in distance measure over [0, t_max].
+    """
+    delta = jnp.sum((light_pos - origin) * direction, axis=-1)
+    closest = origin + delta[..., None] * direction
+    dd = jnp.maximum(jnp.linalg.norm(light_pos - closest, axis=-1), 1e-6)
+    theta_a = jnp.arctan2(0.0 - delta, dd)
+    theta_b = jnp.arctan2(t_max - delta, dd)
+    t = dd * jnp.tan(theta_a + (theta_b - theta_a) * xi)
+    dist = delta + t
+    pdf = dd / (jnp.maximum(theta_b - theta_a, 1e-9) * (dd * dd + t * t))
+    return dist, pdf

@@ -77,3 +77,26 @@ def sample(dist: jnp.ndarray, alpha: jnp.ndarray, u1: jnp.ndarray,
                           jnp.where((dist & PHONG) != 0, phong_c, ggx_c))
     r = safe_sqrt(1.0 - cos_theta * cos_theta)
     return jnp.stack([jnp.cos(phi) * r, jnp.sin(phi) * r, cos_theta], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Blinn NDF (kernels/bxdf/old/blinn.cl -- dead in the reference: nothing
+# includes it; kept live here for capability parity)
+# ---------------------------------------------------------------------------
+
+def blinn_d(cos_nh, alpha):
+    """DistributionBlinn (blinn.cl:5-7): (a+2) max(0, n.wh)^a / 2pi."""
+    from photorealistic_rendering_using_opencl_tpu.ops.math import INV_TWO_PI
+    return (alpha + 2.0) * jnp.power(jnp.maximum(cos_nh, 0.0),
+                                     alpha) * INV_TWO_PI
+
+
+def blinn_sample(u1, u2, alpha):
+    """SampleBlinn (blinn.cl:9-19) in the local frame: cosTheta =
+    u^(1/(a+1)); returns a unit half-vector about +z."""
+    from photorealistic_rendering_using_opencl_tpu.ops.math import TWO_PI
+    phi = TWO_PI * u1
+    cos_t = jnp.power(u2, 1.0 / (alpha + 1.0))
+    sin_t = jnp.sqrt(jnp.maximum(1.0 - cos_t * cos_t, 0.0))
+    return jnp.stack([jnp.cos(phi) * sin_t, jnp.sin(phi) * sin_t, cos_t],
+                     axis=-1)

@@ -78,6 +78,11 @@ SDF_SPHERE = 1 << 4
 SDF_BOX = 1 << 5
 SDF_ROUND_BOX = 1 << 6
 SDF_PLANE = 1 << 7
+# the reference ships sdCylinder/sdTorus distance functions (sdf.cl:21-35)
+# but no type bits to dispatch them (geometry.h stops at 1<<7: dead code);
+# here they are live JSON types 8/9
+SDF_CYLINDER = 1 << 8
+SDF_TORUS = 1 << 9
 
 # ---------------------------------------------------------------------------
 # Spectral constants (include/Types/material.h:79-91), sRGB-ish 3-sample SPDs

@@ -49,9 +49,10 @@ def test_phong_tessellate_flat_and_curved():
     assert (np.asarray(bmax) >= np.asarray(mid1) - 1e-6).all()
 
 
-def test_bdpt_stub_raises():
-    with pytest.raises(NotImplementedError):
-        bidirectional.trace()
+def test_bdpt_is_implemented():
+    # the stub raised NotImplementedError in round 1; BDPT is live now
+    assert callable(bidirectional.trace)
+    assert "MIS" in (bidirectional.__doc__ or "")
 
 
 def test_config_describe_and_manifest():
@@ -73,3 +74,88 @@ def test_materials_scene_renders_all_lobes():
     a = np.asarray(img)
     assert np.isfinite(a).all()
     assert a.max() > 0.5 and a.mean() > 0.01
+
+
+def test_blinn_ndf_dead_parity():
+    """blinn.cl:5-19 (dead in the reference): sampled cosTheta follows
+    u^(1/(a+1)) so E[cosTheta] = (a+1)/(a+2); D integrates to 1 over the
+    projected hemisphere measure up to MC tolerance."""
+    import jax.numpy as jnp
+    from photorealistic_rendering_using_opencl_tpu.ops.microfacet import (
+        blinn_d, blinn_sample,
+    )
+
+    rng = np.random.default_rng(0)
+    alpha = 8.0
+    u1 = jnp.asarray(rng.random(20000, dtype=np.float64).astype(np.float32))
+    u2 = jnp.asarray(rng.random(20000, dtype=np.float64).astype(np.float32))
+    wh = blinn_sample(u1, u2, alpha)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(wh), axis=-1),
+                               1.0, atol=1e-5)
+    mean_cos = float(np.asarray(wh)[:, 2].mean())
+    assert abs(mean_cos - (alpha + 1.0) / (alpha + 2.0)) < 0.01
+    # projected-solid-angle normalization: integral of D(c)*c over the
+    # hemisphere equals 1 for the Blinn NDF
+    c = np.linspace(0.0, 1.0, 20001)
+    d = np.asarray(blinn_d(jnp.asarray(c), alpha))
+    integral = np.trapezoid(d * c * 2.0 * np.pi, c)
+    assert abs(integral - 1.0) < 1e-3
+
+
+def test_sdf_cylinder_torus_live():
+    """sdCylinder/sdTorus (sdf.cl:21-35, dead in the reference) are live
+    JSON types 8/9 here; check closed-form distances."""
+    import jax.numpy as jnp
+    from photorealistic_rendering_using_opencl_tpu.ops.intersect import (
+        sd_primitive,
+    )
+    from photorealistic_rendering_using_opencl_tpu.scene.types import (
+        SDF_CYLINDER, SDF_TORUS,
+    )
+
+    params = jnp.asarray([[0.5, 0.25, 0.0, 0.0]])
+    gt_cyl = jnp.asarray([SDF_CYLINDER])
+    gt_tor = jnp.asarray([SDF_TORUS])
+    # on the cylinder's curved surface: (0.5+d, 0, 0)
+    p = jnp.asarray([[[0.7, 0.0, 0.0]]])
+    assert abs(float(sd_primitive(gt_cyl, p, params)[0, 0]) - 0.2) < 1e-6
+    # above the cap: y = 0.25 + 0.1
+    p = jnp.asarray([[[0.0, 0.35, 0.0]]])
+    assert abs(float(sd_primitive(gt_cyl, p, params)[0, 0]) - 0.1) < 1e-6
+    # torus major 0.5 minor 0.25: point on the ring plane at radius 0.9
+    p = jnp.asarray([[[0.9, 0.0, 0.0]]])
+    assert abs(float(sd_primitive(gt_tor, p, params)[0, 0]) - 0.15) < 1e-6
+
+
+def test_equiangular_pdf_normalized():
+    """sampleEquiAngular (media.cl:34-55, uncalled in the reference): the
+    pdf integrates to ~1 over [0, t_max] and inverse-CDF samples land in
+    range."""
+    import jax.numpy as jnp
+    from photorealistic_rendering_using_opencl_tpu.ops.media import (
+        equiangular_sample,
+    )
+
+    o = jnp.zeros((1, 3))
+    d = jnp.asarray([[0.0, 0.0, 1.0]])
+    lp = jnp.asarray([[0.3, 0.0, 2.0]])
+    t_max = jnp.asarray([5.0])
+    xs = jnp.linspace(1e-4, 1.0 - 1e-4, 4001)
+    dist, pdf = equiangular_sample(
+        jnp.tile(o, (4001, 1)), jnp.tile(d, (4001, 1)),
+        jnp.tile(t_max, (4001,)), jnp.tile(lp, (4001, 1)), xs)
+    dist = np.asarray(dist)
+    assert (dist >= -1e-3).all() and (dist <= 5.0 + 1e-3).all()
+    # integrate pdf over distance via the change of variables: since dist
+    # is the inverse CDF of xi, pdf(dist)*d(dist)/d(xi) == 1
+    ddist = np.gradient(dist, np.asarray(xs))
+    np.testing.assert_allclose(np.asarray(pdf) * ddist, 1.0, atol=2e-2)
+
+
+def test_motion_blur_time_hook():
+    from photorealistic_rendering_using_opencl_tpu.ops.camera_rays import (
+        sample_time,
+    )
+    import jax.numpy as jnp
+    t = sample_time(jnp.asarray([0.0, 0.5, 1.0]), 0.2, 0.6)
+    np.testing.assert_allclose(np.asarray(t), [0.2, 0.4, 0.6], atol=1e-6)
