@@ -33,7 +33,7 @@ from photorealistic_rendering_using_opencl_tpu.ops import (
     bsdf as bsdf_ops, envmap, lights, media, phase as phase_ops,
 )
 from photorealistic_rendering_using_opencl_tpu.ops.intersect import (
-    intersect_scene, shadow_visible,
+    Hit, intersect_and_shadow, intersect_scene, shadow_visible,
 )
 from photorealistic_rendering_using_opencl_tpu.ops.math import (
     RAY_INF, fmax3, power_heuristic, to_global, to_local,
@@ -157,21 +157,46 @@ def _medium_sample_distance(cfg, scene, origin, direction, max_t,
         u_chan, u_dist)
 
 
-def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
-                sampler: Sampler, bounce) -> PathState:
-    """Advance every live path by one event (surface bounce or scatter)."""
+class NeeBatch(NamedTuple):
+    """A deferred next-event-estimation shadow batch.
+
+    ``shade_step`` samples every light/env connection but defers the
+    visibility test so the driver can merge all shadow rays with the next
+    bounce's closest-hit rays into ONE mesh dispatch
+    (ops/intersect.py:intersect_and_shadow).  ``weighted`` is the full
+    throughput-premultiplied contribution; the driver adds
+    ``where(active & visible, weighted, 0)`` to the accumulator.
+    """
+    origin: jnp.ndarray  # [N,3]
+    direction: jnp.ndarray  # [N,3]
+    dist: jnp.ndarray  # [N]
+    active: jnp.ndarray  # [N] bool (pre-visibility take mask)
+    weighted: jnp.ndarray  # [N,3]
+
+
+def accumulate_nee(state: PathState, nee_batches, vis_list) -> PathState:
+    acc = state.acc
+    for b, vis in zip(nee_batches, vis_list):
+        acc = acc + jnp.where((b.active & vis)[..., None], b.weighted, 0.0)
+    return state._replace(acc=acc)
+
+
+def shade_step(cfg: SceneConfig, scene: SceneData, state: PathState,
+               hit: Hit, sampler: Sampler):
+    """Advance every live path by one event (surface bounce or scatter).
+
+    Takes the already-computed intersection of ``state``'s current ray and
+    returns ``(state, nee_batches)``: the updated path state (origin/
+    direction hold the NEXT ray) plus the deferred NEE shadow batches --
+    the driver intersects the next rays and tests the shadow rays in one
+    merged dispatch, then calls ``accumulate_nee``.
+    """
     p_eval, p_pdf, p_sample = phase_ops.get(cfg.phase_function)
     g = scene.phase_g
 
-    hit = intersect_scene(cfg, scene, state.origin, state.direction,
-                          active=state.alive)
-    # tag the (detached-traversal) hit for the remat policy: the bounce
-    # scan rematerializes everything EXCEPT these, so the backward sweep
-    # re-runs the cheap elementwise shading but never the mesh kernels
-    hit = jax.tree_util.tree_map(
-        lambda x: jax.ad_checkpoint.checkpoint_name(x, "hit"), hit)
     mat = gather_material(cfg, scene, hit.mesh_id)
     alive = state.alive
+    nee_batches = []
 
     acc = state.acc
     mask = state.mask
@@ -179,6 +204,7 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
 
     # ---------------- global medium (pathtracing.cl:35-62) ----------------
     scattered = jnp.zeros_like(alive)
+    vol_rec = None
     if cfg.has_global_medium:
         u_chan, u_dist = sampler.next2d()
         ms = _medium_sample_distance(cfg, scene, state.origin,
@@ -187,7 +213,7 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
         scattered = (alive & ~ms.exited
                      & (state.n_scatter < cfg.max_scattering_events))
 
-        # volumetric NEE (base.cl:194-230)
+        # volumetric NEE (base.cl:194-230) -- visibility deferred
         vol_nee = (cfg.enable_volume_light_sampling
                    and cfg.n_lights > 0 and cfg.enable_light_sampling)
         u_pick, ul1, ul2, up1, up2 = sampler.nextnd(5)
@@ -198,8 +224,6 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
             if not cfg.low_order_scattering:
                 do_nee = do_nee & (state.n_scatter > 0)
             f_ph = p_eval(state.direction, rec.d, g)
-            vis = shadow_visible(cfg, scene, ms.p, rec.d, rec.dist,
-                                 active=do_nee)
             trans = _medium_transmittance(cfg, scene, ms.p, rec.d, rec.dist)
             light_col = scene.color[li]
             # invalid lanes carry pdf=0; substitute 1 so the division's
@@ -208,8 +232,8 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
             contrib = (light_col * trans * f_ph[..., None]
                        * (power_heuristic(rec.pdf, p_pdf(state.direction, rec.d, g))
                           / pdf_safe)[..., None]) / pick_pdf
-            acc = acc + jnp.where((do_nee & vis)[..., None],
-                                  mask * contrib, 0.0)
+            vol_rec = NeeBatch(origin=ms.p, direction=rec.d, dist=rec.dist,
+                               active=do_nee, weighted=mask * contrib)
 
         # phase sampling continues the path
         w_new, ph_pdf = p_sample(state.direction, up1, up2, g)
@@ -290,8 +314,6 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
         f = bsdf_ops.evaluate(cfg, mat, wi, wo_l, hit.backside, hit.t)
         b_pdf = bsdf_ops.pdf(cfg, mat, wi, wo_l)
         nonzero = jnp.sum(f * f, axis=-1) > 0.0
-        vis = shadow_visible(cfg, scene, hit.pos, rec.d, rec.dist,
-                             active=nee_ok & nonzero)
         light_col = scene.color[li]
         contrib = light_col * f
         if cfg.has_global_medium:
@@ -301,9 +323,25 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
         contrib = contrib * (power_heuristic(rec.pdf, b_pdf)
                              / pdf_safe)[..., None]
         contrib = contrib / pick_pdf
-        take = nee_ok & nonzero & vis
-        acc = acc + jnp.where(take[..., None], mask * contrib, 0.0)
+        take = nee_ok & nonzero
+        surf_nee = NeeBatch(origin=hit.pos, direction=rec.d, dist=rec.dist,
+                            active=take, weighted=mask * contrib)
+        if vol_rec is not None:
+            # a lane either scattered (volumetric NEE) or reached a surface
+            # (surface NEE) this event -- the two shadow rays share one slot
+            s1 = scattered[..., None]
+            surf_nee = NeeBatch(
+                origin=jnp.where(s1, vol_rec.origin, surf_nee.origin),
+                direction=jnp.where(s1, vol_rec.direction,
+                                    surf_nee.direction),
+                dist=jnp.where(scattered, vol_rec.dist, surf_nee.dist),
+                active=jnp.where(scattered, vol_rec.active, surf_nee.active),
+                weighted=jnp.where(s1, vol_rec.weighted, surf_nee.weighted),
+            )
+        nee_batches.append(surf_nee)
         did_nee = shade & bsdf_ops.nee_capable(mat)
+    elif vol_rec is not None:
+        nee_batches.append(vol_rec)
 
     # ---------------- env-map NEE (new; SURVEY §7 stage 8) ----------------
     if cfg.env_nee:
@@ -313,10 +351,7 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
         wo_e = to_local(hit.normal, e_dir)
         f_e = bsdf_ops.evaluate(cfg, mat, wi, wo_e, hit.backside, hit.t)
         b_pdf_e = bsdf_ops.pdf(cfg, mat, wi, wo_e)
-        nz_e_pre = jnp.sum(f_e * f_e, axis=-1) > 0.0
-        vis_e = shadow_visible(cfg, scene, hit.pos, e_dir,
-                               jnp.full_like(e_pdf, RAY_INF),
-                               active=e_ok & nz_e_pre)
+        nz_e = jnp.sum(f_e * f_e, axis=-1) > 0.0
         e_rad = envmap.radiance(scene.env_map, e_dir)
         pdf_safe_e = jnp.where(e_ok, jnp.maximum(e_pdf, 1e-12), 1.0)
         contrib_e = e_rad * f_e * (power_heuristic(e_pdf, b_pdf_e)
@@ -324,9 +359,10 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
         if cfg.has_global_medium:
             contrib_e = contrib_e * _medium_transmittance(
                 cfg, scene, hit.pos, e_dir, jnp.full_like(e_pdf, RAY_INF))
-        nz_e = jnp.sum(f_e * f_e, axis=-1) > 0.0
-        acc = acc + jnp.where((e_ok & nz_e & vis_e)[..., None],
-                              mask * contrib_e, 0.0)
+        nee_batches.append(NeeBatch(
+            origin=hit.pos, direction=e_dir,
+            dist=jnp.full_like(e_pdf, RAY_INF),
+            active=e_ok & nz_e, weighted=mask * contrib_e))
         did_nee = did_nee | (shade & bsdf_ops.nee_capable(mat))
 
     u0, u1, u2 = sampler.nextnd(3)
@@ -373,7 +409,34 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
     )
     alive = (alive & ~missed & ~is_light & ~bsdf_dead & ~rr_dead
              & ~(surface & over_budget))
-    return state._replace(mask=mask, acc=acc, alpha=alpha, alive=alive)
+    return (state._replace(mask=mask, acc=acc, alpha=alpha, alive=alive),
+            nee_batches)
+
+
+def tag_hit(tree):
+    """Name intersection results for the bounce scan's remat policy: the
+    backward sweep re-runs the cheap elementwise shading but never the
+    (detached, expensive) traversal kernels."""
+    return jax.tree_util.tree_map(
+        lambda x: jax.ad_checkpoint.checkpoint_name(x, "hit"), tree)
+
+
+def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
+                sampler: Sampler, bounce) -> PathState:
+    """Advance every live path by one event (surface bounce or scatter).
+
+    Single-dispatch-per-phase form: intersect, shade, then one shadow call
+    per NEE batch.  The production drivers (``trace``/``trace_regen``)
+    instead pipeline ``shade_step`` with the merged
+    ``intersect_and_shadow`` dispatch; this wrapper keeps the one-call
+    bounce semantics for tools and tests (identical estimator).
+    """
+    hit = tag_hit(intersect_scene(cfg, scene, state.origin, state.direction,
+                                  active=state.alive))
+    state, nee = shade_step(cfg, scene, state, hit, sampler)
+    vis = [shadow_visible(cfg, scene, b.origin, b.direction, b.dist,
+                          active=b.active) for b in nee]
+    return accumulate_nee(state, nee, vis)
 
 
 @jax.custom_vjp
@@ -442,23 +505,40 @@ def trace(cfg: SceneConfig, scene: SceneData, origin, direction,
     state = init_state(origin, direction)
     n_steps = n_steps_for(cfg, scatter_cap)
 
-    def step(state, bounce):
+    # software-pipelined bounce loop: iteration k shades the hit computed
+    # by iteration k-1 and issues ONE merged dispatch (next closest-hit
+    # rays + this vertex's NEE shadow rays) -- halving the per-bounce
+    # custom-call count vs the intersect-then-shade-then-shadow form
+    hit0 = tag_hit(intersect_scene(cfg, scene, origin, direction,
+                                   active=state.alive))
+
+    def step(state, hit, bounce):
         sampler = Sampler(pixel_idx, sample_idx, seed=seed,
                           scheme=rng_scheme,
                           dim=CAMERA_DIMS + bounce * DIMS_PER_BOUNCE)
-        return bounce_step(cfg, scene, state, sampler, bounce)
+        state, nee = shade_step(cfg, scene, state, hit, sampler)
+        # the last iteration's closest-hit result is never shaded: gate its
+        # lanes off so the mesh kernel skips that work entirely
+        last = bounce + 1 >= n_steps
+        hit2, vis = intersect_and_shadow(
+            cfg, scene, state.origin, state.direction, state.alive & ~last,
+            [(b.origin, b.direction, b.dist, b.active) for b in nee])
+        hit2 = tag_hit(hit2)
+        vis = [tag_hit(v) for v in vis]
+        return accumulate_nee(state, nee, vis), hit2
 
     if method == "while":
         def cond(carry):
-            state, bounce = carry
+            state, hit, bounce = carry
             return (bounce < n_steps) & jnp.any(state.alive)
 
         def body(carry):
-            state, bounce = carry
-            return step(state, bounce), bounce + 1
+            state, hit, bounce = carry
+            state, hit = step(state, hit, bounce)
+            return state, hit, bounce + 1
 
-        state, _ = jax.lax.while_loop(
-            cond, body, (state, jnp.asarray(0, jnp.int32)))
+        state, _, _ = jax.lax.while_loop(
+            cond, body, (state, hit0, jnp.asarray(0, jnp.int32)))
     else:
         # rematerialize each bounce in the backward pass: without a remat
         # the scan saves every per-bounce intermediate (~50 arrays x N x
@@ -469,9 +549,10 @@ def trace(cfg: SceneConfig, scene: SceneData, origin, direction,
         @functools.partial(
             jax.checkpoint,
             policy=jax.checkpoint_policies.save_only_these_names("hit"))
-        def body(state, bounce):
-            return _sanitize_grad(step(state, bounce)), None
+        def body(carry, bounce):
+            state, hit = carry
+            return _sanitize_grad(step(state, hit, bounce)), None
 
-        state, _ = jax.lax.scan(body, state,
-                                jnp.arange(n_steps, dtype=jnp.int32))
+        (state, _), _ = jax.lax.scan(body, (state, hit0),
+                                     jnp.arange(n_steps, dtype=jnp.int32))
     return state.acc, state.alpha

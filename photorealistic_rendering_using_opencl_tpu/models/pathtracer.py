@@ -22,8 +22,9 @@ import jax
 import jax.numpy as jnp
 
 from photorealistic_rendering_using_opencl_tpu.models import integrator
-from photorealistic_rendering_using_opencl_tpu.ops import camera_rays
+from photorealistic_rendering_using_opencl_tpu.ops import camera_rays, intersect
 from photorealistic_rendering_using_opencl_tpu.ops.intersect import intersect_scene
+from photorealistic_rendering_using_opencl_tpu.ops.math import RAY_INF
 from photorealistic_rendering_using_opencl_tpu.ops.rng import Sampler
 from photorealistic_rendering_using_opencl_tpu.scene.types import SceneConfig, SceneData
 
@@ -138,8 +139,19 @@ def trace_regen(cfg: SceneConfig, scene: SceneData, cam_pytree,
     state0 = integrator.init_state(jnp.zeros((n, 3), jnp.float32),
                                    jnp.zeros((n, 3), jnp.float32))
     state0 = state0._replace(alive=jnp.zeros((n,), bool))
+    # pipelined carry: ``hit`` holds the intersection of state's current
+    # ray, computed by the previous iteration's merged dispatch (dummy at
+    # start -- no lane is alive, so the first shade is a no-op)
+    hit0 = intersect.Hit(
+        t=jnp.full((n,), RAY_INF, jnp.float32),
+        mesh_id=jnp.full((n,), -1, jnp.int32),
+        pos=jnp.zeros((n, 3), jnp.float32),
+        normal=jnp.zeros((n, 3), jnp.float32),
+        backside=jnp.zeros((n,), bool),
+    )
     carry0 = (
         state0,
+        hit0,
         jnp.zeros((n,), jnp.uint32),  # cur_sample: path being traced
         jnp.ones((n,), bool),         # pending: cur_sample not yet started
         jnp.zeros((n,), jnp.uint32),  # bounce index within current path
@@ -148,12 +160,28 @@ def trace_regen(cfg: SceneConfig, scene: SceneData, cam_pytree,
     )
 
     def cond(carry):
-        state, cur, pending, _, _, it = carry
+        state, _, cur, pending, _, _, it = carry
         work = state.alive | (pending & (cur < spp))
         return jnp.any(work) & (it < max_iters)
 
     def body(carry):
-        state, cur, pending, bounce, alpha_sum, it = carry
+        state, hit, cur, pending, bounce, alpha_sum, it = carry
+
+        # 1. shade the current vertex (no-op for lanes without a path)
+        sampler = Sampler(pixel_idx, cur, seed=seed, scheme=rng_scheme,
+                          dim=integrator.CAMERA_DIMS
+                          + bounce * integrator.DIMS_PER_BOUNCE)
+        was_alive = state.alive
+        state, nee = integrator.shade_step(cfg, scene, state, hit, sampler)
+        bounce = jnp.where(was_alive, bounce + 1, bounce)
+        died = was_alive & ~state.alive
+        alpha_sum = alpha_sum + jnp.where(died, state.alpha, 0.0)
+        cur = jnp.where(died, cur + 1, cur)
+        pending = pending | died
+
+        # 2. regenerate: a freed lane starts its next sample THIS iteration
+        # (its camera ray rides the same merged dispatch as everyone's
+        # next-bounce rays -- zero idle iterations)
         regen = pending & (cur < spp)
         o, d = camera_rays_for_sample(cam_pytree, width, height, px, py,
                                       pixel_idx, cur, seed, rng_scheme,
@@ -179,20 +207,15 @@ def trace_regen(cfg: SceneConfig, scene: SceneData, cam_pytree,
         pending = pending & ~regen
         bounce = jnp.where(regen, 0, bounce)
 
-        sampler = Sampler(pixel_idx, cur, seed=seed, scheme=rng_scheme,
-                          dim=integrator.CAMERA_DIMS
-                          + bounce * integrator.DIMS_PER_BOUNCE)
-        was_alive = state.alive
-        state = integrator.bounce_step(cfg, scene, state, sampler, bounce)
-        bounce = jnp.where(was_alive, bounce + 1, bounce)
+        # 3. ONE merged dispatch: next/camera closest-hit rays + NEE shadow
+        hit, vis = intersect.intersect_and_shadow(
+            cfg, scene, state.origin, state.direction, state.alive,
+            [(b.origin, b.direction, b.dist, b.active) for b in nee])
+        # 4. bank the deferred NEE light (acc is cumulative across samples)
+        state = integrator.accumulate_nee(state, nee, vis)
+        return (state, hit, cur, pending, bounce, alpha_sum, it + 1)
 
-        died = was_alive & ~state.alive
-        alpha_sum = alpha_sum + jnp.where(died, state.alpha, 0.0)
-        cur = jnp.where(died, cur + 1, cur)
-        pending = pending | died
-        return (state, cur, pending, bounce, alpha_sum, it + 1)
-
-    state, _, _, _, alpha_sum, _ = jax.lax.while_loop(cond, body, carry0)
+    state, _, _, _, _, alpha_sum, _ = jax.lax.while_loop(cond, body, carry0)
     return state.acc / spp, alpha_sum / spp
 
 

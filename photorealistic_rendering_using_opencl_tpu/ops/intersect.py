@@ -238,15 +238,18 @@ TRAVERSE_CHUNK = 8192  # lanes per while_loop (bounds the worst-lane tail)
 
 
 def bvh_traverse(scene: SceneData, origin, direction, t_init,
-                 any_hit: bool = False, active=None):
+                 any_hit=False, active=None):
     """Closest-hit over the threaded BVH, chunked over the ray batch.
 
-    The while_loop runs until the WORST lane finishes; traversal depth is
-    heavy-tailed, so splitting a megapixel batch into TRAVERSE_CHUNK-lane
-    chunks (sequential ``lax.map``) pays sum(chunk maxima) instead of
-    batch_size x global maximum.
+    ``any_hit`` may be a python bool or a per-lane [N] array (mixed
+    shadow/closest batches).  The while_loop runs until the WORST lane
+    finishes; traversal depth is heavy-tailed, so splitting a megapixel
+    batch into TRAVERSE_CHUNK-lane chunks (sequential ``lax.map``) pays
+    sum(chunk maxima) instead of batch_size x global maximum.
     """
     n = origin.shape[0]
+    if not isinstance(any_hit, bool):
+        any_hit = jnp.broadcast_to(jnp.asarray(any_hit, bool), (n,))
     if n > TRAVERSE_CHUNK:
         pad = (-n) % TRAVERSE_CHUNK
         def pad0(x, fill=0):
@@ -257,12 +260,17 @@ def bvh_traverse(scene: SceneData, origin, direction, t_init,
         ti = pad0(jnp.broadcast_to(t_init, (n,))).reshape(-1, TRAVERSE_CHUNK)
         act = active if active is not None else jnp.ones((n,), bool)
         act = pad0(act).reshape(-1, TRAVERSE_CHUNK)
-
-        def one(args):
-            o, d, ti, a = args
-            return _bvh_traverse_chunk(scene, o, d, ti, any_hit, a)
-
-        t, tri, u, v = jax.lax.map(one, (o, d, ti, act))
+        if isinstance(any_hit, bool):
+            def one(args):
+                o, d, ti, a = args
+                return _bvh_traverse_chunk(scene, o, d, ti, any_hit, a)
+            t, tri, u, v = jax.lax.map(one, (o, d, ti, act))
+        else:
+            ah = pad0(any_hit).reshape(-1, TRAVERSE_CHUNK)
+            def one(args):
+                o, d, ti, a, h = args
+                return _bvh_traverse_chunk(scene, o, d, ti, h, a)
+            t, tri, u, v = jax.lax.map(one, (o, d, ti, act, ah))
         return (t.reshape(-1)[:n], tri.reshape(-1)[:n],
                 u.reshape(-1)[:n], v.reshape(-1)[:n])
     return _bvh_traverse_chunk(scene, origin, direction, t_init, any_hit,
@@ -338,10 +346,14 @@ def _bvh_traverse_chunk(scene: SceneData, origin, direction, t_init,
 
         descend = box_hit & ~is_leaf
         nxt = jnp.where(descend, links[:, 0], links[:, 1])
-        if any_hit:
-            # shadow variant (bvh.cl traverseShadows): a lane parks at the
-            # end sentinel as soon as any occluder is found
-            nxt = jnp.where(tri >= 0, n_nodes, nxt)
+        if isinstance(any_hit, bool):
+            if any_hit:
+                # shadow variant (bvh.cl traverseShadows): a lane parks at
+                # the end sentinel as soon as any occluder is found
+                nxt = jnp.where(tri >= 0, n_nodes, nxt)
+        else:
+            # per-lane any-hit flag (mixed shadow/closest batch)
+            nxt = jnp.where(any_hit & (tri >= 0), n_nodes, nxt)
         node = jnp.where(active, nxt, node)
         if count_steps:
             return node, t, tri, u, v, carry[5] + active.astype(jnp.int32)
@@ -475,8 +487,13 @@ def traversal_cost(cfg: SceneConfig, scene: SceneData, origin, direction):
     return steps
 
 
-def intersect_scene(cfg: SceneConfig, scene: SceneData, origin, direction,
-                    active=None) -> Hit:
+def _closest_analytic(cfg: SceneConfig, scene: SceneData, origin, direction,
+                      active=None):
+    """Closest hit over the analytic primitive classes only.
+
+    Returns (t, mesh_id, normal); the mesh backend runs separately so the
+    integrator can merge its (expensive) custom call across ray batches.
+    """
     n = origin.shape[0]
     t = jnp.full((n,), RAY_INF, jnp.float32)
     mesh_id = jnp.full((n,), -1, jnp.int32)
@@ -542,9 +559,14 @@ def intersect_scene(cfg: SceneConfig, scene: SceneData, origin, direction,
         nq = scene.quad_normal[q0 + jnp.maximum(arg, 0)]
         normal = jnp.where(better[..., None], nq, normal)
 
-    if cfg.has_mesh:
-        _, tri, tvs, tns = mesh_closest(cfg, scene, origin, direction, t,
-                                        active=active)
+    return t, mesh_id, normal
+
+
+def _finish_hit(cfg: SceneConfig, scene: SceneData, origin, direction,
+                t, mesh_id, normal, tri=None, tvs=None, tns=None) -> Hit:
+    """Fold the mesh backend's result into the analytic closest hit and
+    resolve the shading normal (intersect.cl:222-233)."""
+    if tri is not None:
         hit_m = tri >= 0
         # reattach gradients through the selected triangle (detached walk)
         tm, u, v = tri_reattach(tvs, tri, origin, direction)
@@ -565,6 +587,18 @@ def intersect_scene(cfg: SceneConfig, scene: SceneData, origin, direction,
     return Hit(t, mesh_id, pos, normal, backside)
 
 
+def intersect_scene(cfg: SceneConfig, scene: SceneData, origin, direction,
+                    active=None) -> Hit:
+    t, mesh_id, normal = _closest_analytic(cfg, scene, origin, direction,
+                                           active=active)
+    tri = tvs = tns = None
+    if cfg.has_mesh:
+        _, tri, tvs, tns = mesh_closest(cfg, scene, origin, direction, t,
+                                        active=active)
+    return _finish_hit(cfg, scene, origin, direction, t, mesh_id, normal,
+                       tri, tvs, tns)
+
+
 def material_type_of(cfg: SceneConfig, scene: SceneData, mesh_id):
     idx = jnp.clip(mesh_id, 0, scene.mat_type.shape[0] - 1)
     t = scene.mat_type[idx]
@@ -573,13 +607,12 @@ def material_type_of(cfg: SceneConfig, scene: SceneData, mesh_id):
     return jnp.where(mesh_id < 0, 0, t)
 
 
-def shadow_visible(cfg: SceneConfig, scene: SceneData, origin, direction,
-                   max_dist, active=None) -> jnp.ndarray:
-    """True where the segment [origin, origin + dir*max_dist] is unoccluded.
+def _shadow_analytic(cfg: SceneConfig, scene: SceneData, origin, direction,
+                     max_dist, active=None):
+    """Analytic-primitive occlusion tests -> (blocked [N] bool, limit [N]).
 
-    Mirrors shadow() (intersect.cl:94-152): SDFs use the cheaper shadow
-    march budget; everything else reuses the closest-hit tests with an
-    early distance cap.
+    The mesh backend runs separately so the integrator can merge its
+    (expensive) custom call across ray batches.
     """
     n = origin.shape[0]
     limit = max_dist * (1.0 - 1e-3)
@@ -610,6 +643,20 @@ def shadow_visible(cfg: SceneConfig, scene: SceneData, origin, direction,
                                scene.quad_edge1[q0:q1],
                                scene.quad_normal[q0:q1]), axis=-1)
         blocked = blocked | (tq < limit)
+    return blocked, limit
+
+
+def shadow_visible(cfg: SceneConfig, scene: SceneData, origin, direction,
+                   max_dist, active=None) -> jnp.ndarray:
+    """True where the segment [origin, origin + dir*max_dist] is unoccluded.
+
+    Mirrors shadow() (intersect.cl:94-152): SDFs use the cheaper shadow
+    march budget; everything else reuses the closest-hit tests with an
+    early distance cap.
+    """
+    n = origin.shape[0]
+    blocked, limit = _shadow_analytic(cfg, scene, origin, direction,
+                                      max_dist, active=active)
     if cfg.has_mesh:
         # mesh goes LAST: lanes already occluded by a cheap analytic test
         # drop out of the (expensive) mesh backend via the active mask
@@ -618,3 +665,54 @@ def shadow_visible(cfg: SceneConfig, scene: SceneData, origin, direction,
                                     any_hit=True, active=act & ~blocked)
         blocked = blocked | (tri >= 0)
     return ~blocked
+
+
+def intersect_and_shadow(cfg: SceneConfig, scene: SceneData,
+                         origin, direction, active, shadow_batches):
+    """Closest hit for one ray batch + occlusion for K shadow batches with
+    the mesh backend invoked ONCE on the concatenated (K+1)N-ray batch.
+
+    The reference launches one traversal per ray kind per bounce
+    (kernels/integrators/base.cl:31-192 calls intersectScene then shadow);
+    on TPU every mesh dispatch is a Pallas custom call that fragments the
+    surrounding XLA fusion graph and pays a fixed relevance/launch cost, so
+    the integrator batches the NEE shadow rays with the next bounce's
+    closest-hit rays into a single mixed dispatch (per-lane any-hit flag).
+
+    ``shadow_batches``: list of (origin, direction, max_dist, active).
+    Returns (Hit for the closest batch, [visible bool arrays]).
+    """
+    n = origin.shape[0]
+    act_c = active if active is not None else jnp.ones((n,), bool)
+    t, mesh_id, normal = _closest_analytic(cfg, scene, origin, direction,
+                                           active=act_c)
+    blocked, limits, acts = [], [], []
+    for (o_s, d_s, dist_s, a_s) in shadow_batches:
+        b, lim = _shadow_analytic(cfg, scene, o_s, d_s, dist_s, active=a_s)
+        a_s = a_s if a_s is not None else jnp.ones((o_s.shape[0],), bool)
+        blocked.append(b)
+        limits.append(lim)
+        acts.append(a_s)
+
+    tri = tvs = tns = None
+    if cfg.has_mesh:
+        o_all = jnp.concatenate([origin] + [b[0] for b in shadow_batches])
+        d_all = jnp.concatenate([direction] + [b[1] for b in shadow_batches])
+        t_all = jnp.concatenate([t] + limits)
+        ah_all = jnp.concatenate(
+            [jnp.zeros((n,), bool)]
+            + [jnp.ones((b.shape[0],), bool) for b in blocked])
+        act_all = jnp.concatenate(
+            [act_c] + [a & ~b for a, b in zip(acts, blocked)])
+        _, tri_all, tvs, tns = mesh_closest(cfg, scene, o_all, d_all, t_all,
+                                            any_hit=ah_all, active=act_all)
+        tri = tri_all[:n]
+        off = n
+        for i, b in enumerate(blocked):
+            m = b.shape[0]
+            blocked[i] = b | (tri_all[off:off + m] >= 0)
+            off += m
+
+    hit = _finish_hit(cfg, scene, origin, direction, t, mesh_id, normal,
+                      tri, tvs, tns)
+    return hit, [~b for b in blocked]

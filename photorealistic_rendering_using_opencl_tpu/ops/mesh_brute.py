@@ -192,7 +192,7 @@ def _intersect_xla(feat, clusters, origin, direction, t_init, active):
 # Pallas TPU kernel: VMEM-resident table, cluster-skipped matmul tiles
 # ---------------------------------------------------------------------------
 
-def _make_kernel(nt: int, c: int, block: int, any_hit: bool = False):
+def _make_kernel(nt: int, c: int, block: int):
     """Pure matmul kernel; all irregularity analysis happens outside.
 
     Cluster relevance (which matmul tiles some ray in the block could
@@ -203,12 +203,20 @@ def _make_kernel(nt: int, c: int, block: int, any_hit: bool = False):
     ~29 ms per call even with every lane dead (PERF.md).  A block whose
     rays are all dead or all miss the mesh now costs ``nt`` scalar branch
     tests.
+
+    The any-hit (shadow) variant is a PER-LANE flag (ta column 2), so one
+    kernel call can carry a mixed batch — the integrator fuses the NEE
+    shadow rays and the next bounce's closest-hit rays into a single 2N-ray
+    dispatch (round-3 roadmap #1).  An any-hit lane parks at -inf on its
+    first occluder and never updates again (traverseShadows early-out,
+    bvh.cl:43-114).
     """
     def kernel(rel_ref, o_ref, d_ref, ta_ref, a_ref, t_ref, i_ref):
         o = o_ref[:]
         d = d_ref[:]
         tinit = ta_ref[:, 0:1]
         act = ta_ref[:, 1:2] > 0.5
+        anyh = ta_ref[:, 2:3] > 0.5
         f = _ray_features(o, d)
 
         # inactive lanes park at -inf so they can never record a hit even
@@ -229,13 +237,8 @@ def _make_kernel(nt: int, c: int, block: int, any_hit: bool = False):
                                keepdims=True) + j * c
                 cur_t = t_ref[:]
                 better = tmin < cur_t
-                if any_hit:
-                    # shadow variant: only occlusion (tri >= 0) matters;
-                    # an occluded lane parks at -inf so it never updates
-                    # again (traverseShadows early-out, bvh.cl:43-114)
-                    t_ref[:] = jnp.where(better, -jnp.inf, cur_t)
-                else:
-                    t_ref[:] = jnp.where(better, tmin, cur_t)
+                t_ref[:] = jnp.where(better,
+                                     jnp.where(anyh, -jnp.inf, tmin), cur_t)
                 i_ref[:] = jnp.where(better, targ, i_ref[:])
 
         got = i_ref[:] >= 0
@@ -301,10 +304,11 @@ def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
     npad = n + pad
     act = active if active is not None else jnp.ones((n,), bool)
     t_init = jnp.broadcast_to(t_init, (n,))
-    # one small [N,2] pack instead of the round-1 [N,8] concat (the rays
+    ah = jnp.broadcast_to(jnp.asarray(any_hit, jnp.float32), (n,))
+    # one small [N,3] pack instead of the round-1 [N,8] concat (the rays
     # copy cost ~2 ms/bounce at 262k lanes); origin/direction pass through
     # unchanged
-    ta = jnp.stack([t_init, act.astype(jnp.float32)], axis=1)
+    ta = jnp.stack([t_init, act.astype(jnp.float32), ah], axis=1)
     if pad:
         origin = jnp.pad(origin, ((0, pad), (0, 0)))
         direction = jnp.pad(direction, ((0, pad), (0, 0)), constant_values=1.0)
@@ -314,7 +318,7 @@ def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
     rel = _block_relevance(clusters, origin, direction, ta[:, 0],
                            ta[:, 1] > 0.5, grid, BLOCK)
     out_t, out_i = pl.pallas_call(
-        _make_kernel(nt, c, BLOCK, any_hit),
+        _make_kernel(nt, c, BLOCK),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),  # rel bitmask [G,W]
@@ -322,7 +326,7 @@ def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((BLOCK, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK, 2), lambda i: (i, 0),
+            pl.BlockSpec((BLOCK, 3), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((FEAT, feat.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -352,9 +356,11 @@ def mesh_intersect(feat, clusters, origin, direction, t_init, active=None,
     """Closest mesh hit by exhaustive matmul testing.
 
     Returns (t [N], tri [N] int32 index into the compact bf arrays, -1 on
-    miss); t falls back to t_init when no triangle beats it.  With
-    ``any_hit`` the returned t is t_init everywhere and only tri >= 0
-    (occluded) is meaningful; occluded lanes stop scanning clusters early.
+    miss); t falls back to t_init when no triangle beats it.  ``any_hit``
+    may be a python bool or a PER-LANE [N] array (mixed shadow/closest
+    batches share one dispatch): for any-hit lanes the returned t is
+    t_init everywhere and only tri >= 0 (occluded) is meaningful; occluded
+    lanes stop scanning clusters early.
     Fully detached (gradients reattach through the chosen triangle).
     """
     origin = jax.lax.stop_gradient(origin)
@@ -366,4 +372,6 @@ def mesh_intersect(feat, clusters, origin, direction, t_init, active=None,
     if jax.devices()[0].platform == "tpu":
         return _intersect_pallas(feat, clusters, origin, direction, t_init,
                                  active, any_hit=any_hit)
+    # the XLA fallback always computes the closest hit; that subsumes
+    # any-hit semantics (tri >= 0 iff some triangle is closer than t_init)
     return _intersect_xla(feat, clusters, origin, direction, t_init, active)
