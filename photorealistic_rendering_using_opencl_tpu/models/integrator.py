@@ -50,6 +50,11 @@ from photorealistic_rendering_using_opencl_tpu.scene.types import (
 CAMERA_DIMS = 8
 DIMS_PER_BOUNCE = 16
 
+# bounces per inner segment of the differentiable nested scan; deep budgets
+# compile as outer-scan-of-SCAN_CHUNK-step-scans (a flat 32-step
+# differentiated scan blows up remote XLA compile time)
+SCAN_CHUNK = 8
+
 
 class PathState(NamedTuple):
     origin: jnp.ndarray  # [N,3]
@@ -516,6 +521,9 @@ def trace(cfg: SceneConfig, scene: SceneData, origin, direction,
         sampler = Sampler(pixel_idx, sample_idx, seed=seed,
                           scheme=rng_scheme,
                           dim=CAMERA_DIMS + bounce * DIMS_PER_BOUNCE)
+        # chunked scans pad the budget to a SCAN_CHUNK multiple; padded
+        # iterations must not shade (their hit was gated off as `last`)
+        state = state._replace(alive=state.alive & (bounce < n_steps))
         state, nee = shade_step(cfg, scene, state, hit, sampler)
         # the last iteration's closest-hit result is never shaded: gate its
         # lanes off so the mesh kernel skips that work entirely
@@ -553,6 +561,23 @@ def trace(cfg: SceneConfig, scene: SceneData, origin, direction,
             state, hit = carry
             return _sanitize_grad(step(state, hit, bounce)), None
 
-        (state, _), _ = jax.lax.scan(body, (state, hit0),
-                                     jnp.arange(n_steps, dtype=jnp.int32))
+        if n_steps <= SCAN_CHUNK:
+            (state, _), _ = jax.lax.scan(body, (state, hit0),
+                                         jnp.arange(n_steps, dtype=jnp.int32))
+        else:
+            # deep bounce budgets (cornell.json runs 32): a single
+            # differentiated N-step scan blows up remote XLA compile time,
+            # so nest it as outer-scan-of-inner-scans with the remat
+            # boundary on the inner segment -- the backward sweep then
+            # differentiates one SCAN_CHUNK-step segment at a time
+            n_outer = -(-n_steps // SCAN_CHUNK)
+
+            def seg_body(carry, seg):
+                bounces = seg * SCAN_CHUNK + jnp.arange(SCAN_CHUNK,
+                                                        dtype=jnp.int32)
+                return jax.lax.scan(body, carry, bounces)[0], None
+
+            (state, _), _ = jax.lax.scan(
+                seg_body, (state, hit0),
+                jnp.arange(n_outer, dtype=jnp.int32))
     return state.acc, state.alpha

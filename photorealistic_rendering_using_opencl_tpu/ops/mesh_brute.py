@@ -226,8 +226,12 @@ def _make_kernel(nt: int, c: int, block: int):
 
         col = jax.lax.broadcasted_iota(jnp.int32, (block, c), 1)
         pid = pl.program_id(0)
+        nwords = -(-nt // 32)
         for j in range(nt):
-            bit = (rel_ref[pid, j // 32] >> (j % 32)) & 1
+            # rel is FLAT [grid*nwords] in SMEM: a [grid, nwords] layout
+            # lane-pads each row to 128 words (1 MB of 1 MB smem at 2k
+            # blocks); the flat form stays at grid*nwords*4 bytes
+            bit = (rel_ref[pid * nwords + j // 32] >> (j % 32)) & 1
             @pl.when(bit != 0)
             def _(j=j):
                 score = _tile_scores(f, a_ref[:, j * 4 * c:(j + 1) * 4 * c],
@@ -316,7 +320,7 @@ def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
 
     grid = npad // BLOCK
     rel = _block_relevance(clusters, origin, direction, ta[:, 0],
-                           ta[:, 1] > 0.5, grid, BLOCK)
+                           ta[:, 1] > 0.5, grid, BLOCK).reshape(-1)
     out_t, out_i = pl.pallas_call(
         _make_kernel(nt, c, BLOCK),
         grid=(grid,),
