@@ -278,7 +278,12 @@ def trace(cfg: SceneConfig, scene: SceneData, origin, direction,
     Path space matches the unidirectional integrator at equal budgets:
     paths with 1..max_bounces surface vertices ending on the light.
     """
-    b = int(cfg.max_bounces if max_depth is None else max_depth)
+    # BDPT cost is quadratic in depth (t_max * s_max connection
+    # strategies, each with a shadow ray), so the DEFAULT caps at 6 --
+    # deep specular budgets like cornell.json's 32 would compile ~33x32
+    # strategies for negligible added light.  Pass max_depth explicitly to
+    # go deeper.
+    b = int(min(cfg.max_bounces, 6) if max_depth is None else max_depth)
     t_max = b + 1  # allow the s=0 strategy to reach the light
     s_max = b      # q0 on the light + up to b-1 surface vertices
 

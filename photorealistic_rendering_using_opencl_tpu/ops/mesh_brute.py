@@ -51,9 +51,16 @@ from photorealistic_rendering_using_opencl_tpu.ops.math import EPS
 import os as _os
 
 TILE = int(_os.environ.get("PRT_MESH_TILE", "512"))  # tris per cluster tile
-BLOCK = int(_os.environ.get("PRT_MESH_BLOCK", "256"))  # rays per instance
+BLOCK = int(_os.environ.get("PRT_MESH_BLOCK", "512"))  # rays per instance
 FEAT = 16  # ray feature width (10 used, padded for sublane tiling)
 BRUTE_MAX_TRIS = 32768  # above this the VMEM-resident table stops paying
+
+# transposed ray-pack rows 10-12 carry per-lane control values; the
+# coefficient table's rows 10-15 are all zero, so they ride through the
+# intersection matmul with no effect
+ROW_TINIT = 10
+ROW_ACTIVE = 11
+ROW_ANYHIT = 12
 
 
 class BrutePack(NamedTuple):
@@ -204,27 +211,32 @@ def _make_kernel(nt: int, c: int, block: int):
     rays are all dead or all miss the mesh now costs ``nt`` scalar branch
     tests.
 
-    The any-hit (shadow) variant is a PER-LANE flag (ta column 2), so one
+    LAYOUT: rays ride the LANE dimension.  All I/O is a transposed pack
+    P[16, block] (ray features + t_init/active/anyhit in the feature rows
+    the coefficient table zeroes) and [1, block] result rows — measured on
+    v5e, a single (block, 3)-blocked pallas operand forces relayout copies
+    costing ~13 ms per dispatch at 262k lanes, vs ~2 ms lane-aligned
+    (tools/pallas_barrier_test.py).
+
+    The any-hit (shadow) variant is a PER-LANE flag (pack row 12), so one
     kernel call can carry a mixed batch — the integrator fuses the NEE
     shadow rays and the next bounce's closest-hit rays into a single 2N-ray
     dispatch (round-3 roadmap #1).  An any-hit lane parks at -inf on its
     first occluder and never updates again (traverseShadows early-out,
     bvh.cl:43-114).
     """
-    def kernel(rel_ref, o_ref, d_ref, ta_ref, a_ref, t_ref, i_ref):
-        o = o_ref[:]
-        d = d_ref[:]
-        tinit = ta_ref[:, 0:1]
-        act = ta_ref[:, 1:2] > 0.5
-        anyh = ta_ref[:, 2:3] > 0.5
-        f = _ray_features(o, d)
+    def kernel(rel_ref, p_ref, a_ref, t_ref, i_ref):
+        p = p_ref[:]  # [FEAT, block]
+        tinit = p[ROW_TINIT:ROW_TINIT + 1, :]
+        act = p[ROW_ACTIVE:ROW_ACTIVE + 1, :] > 0.5
+        anyh = p[ROW_ANYHIT:ROW_ANYHIT + 1, :] > 0.5
 
         # inactive lanes park at -inf so they can never record a hit even
         # when their block runs a tile for other lanes
         t_ref[:] = jnp.where(act, tinit, -jnp.inf)
-        i_ref[:] = jnp.full((block, 1), -1, jnp.int32)
+        i_ref[:] = jnp.full((1, block), -1, jnp.int32)
 
-        col = jax.lax.broadcasted_iota(jnp.int32, (block, c), 1)
+        row = jax.lax.broadcasted_iota(jnp.int32, (c, block), 0)
         pid = pl.program_id(0)
         nwords = -(-nt // 32)
         for j in range(nt):
@@ -234,10 +246,24 @@ def _make_kernel(nt: int, c: int, block: int):
             bit = (rel_ref[pid * nwords + j // 32] >> (j % 32)) & 1
             @pl.when(bit != 0)
             def _(j=j):
-                score = _tile_scores(f, a_ref[:, j * 4 * c:(j + 1) * 4 * c],
-                                     c)
-                tmin = jnp.min(score, axis=1, keepdims=True)
-                targ = jnp.min(jnp.where(score <= tmin, col, c), axis=1,
+                # [4C, block] = A_tile[16, 4C]^T . P[16, block]; the
+                # control rows (10-12) hit all-zero coefficient rows
+                out = jax.lax.dot_general(
+                    a_ref[:, j * 4 * c:(j + 1) * 4 * c], p,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32)
+                den = out[0 * c:1 * c]
+                tden = out[1 * c:2 * c]
+                uden = out[2 * c:3 * c]
+                vden = out[3 * c:4 * c]
+                den2 = den * den
+                m = jnp.minimum(jnp.minimum(uden * den, vden * den),
+                                (den - uden - vden) * den)
+                td = tden * den
+                hit = (m >= 0.0) & (td > EPS * den2)
+                score = jnp.where(hit, td / den2, jnp.inf)
+                tmin = jnp.min(score, axis=0, keepdims=True)
+                targ = jnp.min(jnp.where(score <= tmin, row, c), axis=0,
                                keepdims=True) + j * c
                 cur_t = t_ref[:]
                 better = tmin < cur_t
@@ -252,7 +278,7 @@ def _make_kernel(nt: int, c: int, block: int):
 
 
 def _block_relevance(clusters, origin, direction, t_init, act, nblocks,
-                     block):
+                     block, pad=0):
     """[nblocks, ceil(nt/32)] uint32 bitmask: does any active ray in block
     b enter cluster j closer than its t_init?  Vectorized slab test left
     to XLA — it fuses into a few passes over [N, nt] and replaces the
@@ -273,6 +299,8 @@ def _block_relevance(clusters, origin, direction, t_init, act, nblocks,
         ent = jnp.maximum(ent, jnp.minimum(lo, hi))
         ext = jnp.minimum(ext, jnp.maximum(lo, hi))
     rel = (ent <= jnp.minimum(ext, t_init[:, None])) & act[:, None]
+    if pad:
+        rel = jnp.pad(rel, ((0, pad), (0, 0)))
     rel = rel.reshape(nblocks, block, nt).any(axis=1)  # [nblocks, nt]
     nwords = -(-nt // 32)
     npad_bits = nwords * 32
@@ -309,41 +337,45 @@ def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
     act = active if active is not None else jnp.ones((n,), bool)
     t_init = jnp.broadcast_to(t_init, (n,))
     ah = jnp.broadcast_to(jnp.asarray(any_hit, jnp.float32), (n,))
-    # one small [N,3] pack instead of the round-1 [N,8] concat (the rays
-    # copy cost ~2 ms/bounce at 262k lanes); origin/direction pass through
-    # unchanged
-    ta = jnp.stack([t_init, act.astype(jnp.float32), ah], axis=1)
-    if pad:
-        origin = jnp.pad(origin, ((0, pad), (0, 0)))
-        direction = jnp.pad(direction, ((0, pad), (0, 0)), constant_values=1.0)
-        ta = jnp.pad(ta, ((0, pad), (0, 0)))
 
     grid = npad // BLOCK
-    rel = _block_relevance(clusters, origin, direction, ta[:, 0],
-                           ta[:, 1] > 0.5, grid, BLOCK).reshape(-1)
+    rel = _block_relevance(clusters, origin, direction, t_init,
+                           act, grid, BLOCK, pad).reshape(-1)
+
+    # transposed lane-aligned pack [FEAT, npad]: rows 0-9 the Moller-
+    # Trumbore ray features, rows 10-12 control (t_init/active/anyhit);
+    # built as one stack of [N] rows so no (block, 3) pallas operand ever
+    # exists (see _make_kernel LAYOUT note)
+    o0, o1, o2 = origin[:, 0], origin[:, 1], origin[:, 2]
+    d0, d1, d2 = direction[:, 0], direction[:, 1], direction[:, 2]
+    rows = [o0, o1, o2, d0, d1, d2,
+            d1 * o2 - d2 * o1, d2 * o0 - d0 * o2, d0 * o1 - d1 * o0,
+            jnp.ones((n,), jnp.float32),
+            t_init, act.astype(jnp.float32), ah]
+    rows += [jnp.zeros((n,), jnp.float32)] * (FEAT - len(rows))
+    p = jnp.stack(rows, axis=0)
+    if pad:
+        p = jnp.pad(p, ((0, 0), (0, pad)))
+
     out_t, out_i = pl.pallas_call(
         _make_kernel(nt, c, BLOCK),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # rel bitmask [G,W]
-            pl.BlockSpec((BLOCK, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK, 3), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK, 3), lambda i: (i, 0),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # rel bitmask, flat
+            pl.BlockSpec((FEAT, BLOCK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((FEAT, feat.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, BLOCK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((BLOCK, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, BLOCK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ),
         out_shape=(
-            jax.ShapeDtypeStruct((npad, 1), jnp.float32),
-            jax.ShapeDtypeStruct((npad, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, npad), jnp.float32),
+            jax.ShapeDtypeStruct((1, npad), jnp.int32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * npad * FEAT * 4 * feat.shape[1],
@@ -351,8 +383,8 @@ def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(rel, origin, direction, ta, feat)
-    return out_t[:n, 0], out_i[:n, 0]
+    )(rel, p, feat)
+    return out_t[0, :n], out_i[0, :n]
 
 
 def mesh_intersect(feat, clusters, origin, direction, t_init, active=None,

@@ -57,6 +57,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "shard_map data parallelism)")
     p.add_argument("--phase", default="isotropic",
                    choices=("isotropic", "hg", "rayleigh"))
+    p.add_argument("--pick-random-light", action="store_true",
+                   help="NEE picks one light uniformly per vertex instead "
+                        "of always sampling light 0 (the reference's "
+                        "PICK_RANDOM_LIGHT kernel toggle, base.cl:9); also "
+                        "settable per scene via settings.PICK_RANDOM_LIGHT")
     p.add_argument("--profile", default=None,
                    help="write a jax.profiler trace to this directory "
                         "during rendering")
@@ -64,12 +69,18 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def _load(args):
+    import dataclasses
+
     from photorealistic_rendering_using_opencl_tpu.scene.loader import load_scene
     from photorealistic_rendering_using_opencl_tpu.utils.image import read_hdr
 
     env = read_hdr(args.hdr) if args.hdr else None
-    return load_scene(args.scene, env_map=env, alpha_testing=args.alpha,
-                      phase_function=args.phase)
+    cfg, scene = load_scene(args.scene, env_map=env,
+                            alpha_testing=args.alpha,
+                            phase_function=args.phase)
+    if getattr(args, "pick_random_light", False):
+        cfg = dataclasses.replace(cfg, pick_random_light=True)
+    return cfg, scene
 
 
 def _export(path: str, hdr_img, alpha, encoder: int) -> None:

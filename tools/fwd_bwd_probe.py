@@ -67,8 +67,19 @@ def main():
         s = float(val) + float(sum(np.asarray(g).sum() for g in grad))
         return s
 
-    t0 = time.perf_counter(); s = run()
-    print(f"first run {time.perf_counter()-t0:.2f}s  checksum {s:.5f}", flush=True)
+    t0 = time.perf_counter()
+    val, grad = compiled(f_leaves)
+    print(f"first run {time.perf_counter()-t0:.2f}s  val {float(val):.5f}",
+          flush=True)
+    names = [f"leaf{k}" for k in range(len(grad))]
+    for nm, g in zip(names, grad):
+        a = np.asarray(g)
+        bad = (~np.isfinite(a)).sum()
+        if bad:
+            print(f"  NONFINITE {nm} shape {a.shape}: {bad}/{a.size}",
+                  flush=True)
+    print("grad l1:",
+          float(sum(np.abs(np.asarray(g)).sum() for g in grad)), flush=True)
     best = float("inf")
     for _ in range(2):
         t0 = time.perf_counter(); run()

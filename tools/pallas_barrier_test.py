@@ -108,6 +108,32 @@ def main():
 
     integrator.shadow_visible = pallas_shadow2
     timed("analytic bounce_step + 2 pallas barriers", step)
+
+    def _passthrough_flat(x):
+        # lane-aligned variant: [N] viewed as [N/128, 128] rows
+        def kernel(x_ref, o_ref):
+            o_ref[:] = x_ref[:]
+        n = x.shape[0]
+        y = x.reshape(n // 128, 128)
+        out = pl.pallas_call(
+            kernel, grid=(n // 128 // 256,),
+            in_specs=[pl.BlockSpec((256, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((256, 128), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((n // 128, 128), jnp.float32),
+        )(y)
+        return out.reshape(n)
+
+    def pallas_shadow3(cfg2, scene2, origin, direction, max_dist,
+                       active=None):
+        v = real_shadow(cfg2, scene2, origin, direction, max_dist,
+                        active=active)
+        bounced = _passthrough_flat((origin + direction).reshape(-1))
+        return v & (bounced.reshape(-1, 3).sum(axis=-1) > -1e30)
+
+    integrator.shadow_visible = pallas_shadow3
+    timed("analytic bounce_step + 1 lane-aligned barrier", step)
     integrator.shadow_visible = real_shadow
 
 
