@@ -28,7 +28,9 @@ from typing import NamedTuple
 import jax.numpy as jnp
 
 from photorealistic_rendering_using_opencl_tpu.ops import fresnel, microfacet
-from photorealistic_rendering_using_opencl_tpu.ops.math import INV_PI, reflect_local, sgn_e
+from photorealistic_rendering_using_opencl_tpu.ops.math import (
+    INV_PI, normalize, reflect_local, sgn_e,
+)
 from photorealistic_rendering_using_opencl_tpu.ops.sampling import (
     cosine_hemisphere, cosine_hemisphere_pdf,
 )
@@ -134,7 +136,8 @@ def burley_sample(mat: MatProps, wi, u1, u2) -> BSDFSample:
     wo = cosine_hemisphere(u1, u2)
     pdf = cosine_hemisphere_pdf(wo)
     h = wi + wo
-    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    # math.normalize: NaN-free backward at h ~= 0 (wo ~= -wi lanes)
+    h = normalize(h)
     cos_d = jnp.sum(h * wo, axis=-1)
     fd = (_burley_fd(mat.roughness, cos_d, wi[..., 2])
           * _burley_fd(mat.roughness, cos_d, wo[..., 2]))
@@ -145,7 +148,8 @@ def burley_sample(mat: MatProps, wi, u1, u2) -> BSDFSample:
 
 def burley_eval(mat: MatProps, wi, wo):
     h = wi + wo
-    h = h / jnp.maximum(jnp.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    # math.normalize: NaN-free backward at h ~= 0 (wo ~= -wi lanes)
+    h = normalize(h)
     cos_d = jnp.sum(h * wo, axis=-1)
     fd = (_burley_fd(mat.roughness, cos_d, wi[..., 2])
           * _burley_fd(mat.roughness, cos_d, wo[..., 2]))
@@ -202,7 +206,8 @@ def rough_conductor_sample(mat: MatProps, wi, u1, u2,
 def rough_conductor_eval(mat: MatProps, wi, wo):
     alpha = microfacet.roughness_to_alpha(mat.dist, mat.roughness)
     hr = wi + wo
-    hr = hr / jnp.maximum(jnp.linalg.norm(hr, axis=-1, keepdims=True), 1e-12)
+    # math.normalize: NaN-free backward at hr ~= 0 (wo ~= -wi lanes)
+    hr = normalize(hr)
     cos_m = jnp.sum(wi * hr, axis=-1)
     f = fresnel.conductor_reflectance_rgb(mat.eta, mat.k, cos_m)
     g = microfacet.G(mat.dist, alpha, wi, wo, hr)
@@ -215,7 +220,8 @@ def rough_conductor_eval(mat: MatProps, wi, wo):
 def rough_conductor_pdf(mat: MatProps, wi, wo):
     alpha = microfacet.roughness_to_alpha(mat.dist, mat.roughness)
     hr = wi + wo
-    hr = hr / jnp.maximum(jnp.linalg.norm(hr, axis=-1, keepdims=True), 1e-12)
+    # math.normalize: NaN-free backward at hr ~= 0 (wo ~= -wi lanes)
+    hr = normalize(hr)
     p = (microfacet.pdf(mat.dist, alpha, hr) * 0.25
          / jnp.maximum(jnp.sum(wi * hr, axis=-1), 1e-12))
     ok = (wi[..., 2] > 0.0) & (wo[..., 2] > 0.0)
@@ -326,7 +332,7 @@ def _rough_dielectric_half(mat: MatProps, wi, wo):
     m_r = sgn_e(wi_n)[..., None] * (wi + wo)
     m_t = -(wi * eta[..., None] + wo)
     m = jnp.where(reflect[..., None], m_r, m_t)
-    m = m / jnp.maximum(jnp.linalg.norm(m, axis=-1, keepdims=True), 1e-12)
+    m = normalize(m)  # NaN-free backward at m ~= 0
     return reflect, eta, m
 
 

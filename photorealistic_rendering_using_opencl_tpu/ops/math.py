@@ -123,7 +123,18 @@ def power_heuristic(pdf0: jnp.ndarray, pdf1: jnp.ndarray) -> jnp.ndarray:
 
     Double-where guard: with both pdfs ~0 (masked-out lanes) the quotient's
     partial derivative overflows f32 and NaNs the backward pass.
+
+    The pdfs are also clamped to 1e12 before squaring: masked-out lanes
+    evaluate every BSDF family regardless of material, and a near-specular
+    microfacet D on such a lane reaches ~1e32, whose square overflows f32
+    to inf -- the weight's VALUE is still fine (a2/inf = 0) but its partial
+    is inf/inf = NaN, which 0-cotangents turn into NaN gradients for the
+    light's position/radius/roughness (found by the depth-32 fwd+bwd
+    bench).  Above 1e12 the heuristic is saturated at 0/1 anyway, so the
+    clamp is exact for every physically reachable pdf.
     """
+    pdf0 = jnp.minimum(pdf0, 1e12)
+    pdf1 = jnp.minimum(pdf1, 1e12)
     p0 = pdf0 * pdf0
     denom = p0 + pdf1 * pdf1
     tiny = denom < 1e-12

@@ -26,7 +26,14 @@ def D(dist: jnp.ndarray, alpha: jnp.ndarray, m: jnp.ndarray) -> jnp.ndarray:
     c2 = mz * mz
     t2 = jnp.maximum(1.0 - c2, 0.0) / jnp.maximum(c2, 1e-12)
     c4 = jnp.maximum(c2 * c2, 1e-20)
-    beck = INV_PI * jnp.exp(-t2 / jnp.maximum(a2, 1e-12)) / (jnp.maximum(a2, 1e-12) * c4)
+    # Beckmann in log space: the quotient form's partial wrt c4 is
+    # exp(-t2/a2) / (a2 * c4^2), which overflows f32 to inf at grazing
+    # half-vectors (c2 ~ 0) while exp underflows to exactly 0 -- the
+    # backward pass then evaluates 0 * inf = NaN on masked lanes.  In log
+    # space every partial carries the (zero) value as a factor.
+    a2s = jnp.maximum(a2, 1e-12)
+    c2s = jnp.maximum(c2, 1e-12)
+    beck = INV_PI * jnp.exp(-t2 / a2s - jnp.log(a2s) - 2.0 * jnp.log(c2s))
     phong = (alpha + 2.0) * INV_TWO_PI * jnp.power(jnp.maximum(mz, 1e-12), alpha)
     ggx = a2 * INV_PI / (c4 * jnp.square(a2 + t2))
     d = jnp.where((dist & BECKMANN) != 0, beck,

@@ -10,12 +10,15 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from photorealistic_rendering_using_opencl_tpu.ops.math import (
-    INV_FOUR_PI, INV_PI, INV_TWO_PI, TWO_PI,
+    INV_FOUR_PI, INV_PI, INV_TWO_PI, TWO_PI, safe_sqrt,
 )
 
 
 def _from_polar(phi, z):
-    r = jnp.sqrt(jnp.maximum(1.0 - z * z, 0.0))
+    # safe_sqrt: z hits +-1 exactly (u=0 draws; f32 rounding of cap
+    # cosines), where sqrt's inf partial turns masked lanes' zero
+    # cotangents into NaN gradients
+    r = safe_sqrt(1.0 - z * z)
     return jnp.stack([jnp.cos(phi) * r, jnp.sin(phi) * r, z], axis=-1)
 
 

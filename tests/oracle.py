@@ -53,6 +53,9 @@ class OracleScene:
         self.max_bounces = int(s.get("MAX_BOUNCES", 4))
         self.max_diff = int(s.get("MAX_DIFF_BOUNCES", 4))
 
+        self.max_spec = int(s.get("MAX_SPEC_BOUNCES", 4))
+        self.max_trans = int(s.get("MAX_TRANS_BOUNCES", 12))
+
         sc = doc["scene"]
         sph = sc.get("spheres", [])
         self.sph_c = np.array([q["pos"] for q in sph], np.float64).reshape(-1, 3)
@@ -74,6 +77,32 @@ class OracleScene:
                               np.float64).reshape(-1, 3)
         self.q_light = np.array(
             [int(q["material"].get("type", 1)) == 0 for q in quads], bool)
+
+        # material table across [spheres | quads] in scene order
+        # (include/Types/material.h: JSON "type": n -> bit 1<<n;
+        # 0 LIGHT, 1 DIFF, 3 DIEL, 10 ROUGH_COND; "dist": 2 -> GGX)
+        def mat_row(m):
+            t = int(m.get("type", 1))
+            return dict(
+                t=t,
+                rough=float(m.get("roughness", 0.0)),
+                dist=int(m.get("dist", 0)),  # 0 Beckmann, 2 GGX
+                eta_t=float(m.get("eta", [1.5121])[0]
+                            if isinstance(m.get("eta"), list)
+                            else m.get("eta", 1.5121)),
+                cond_eta=np.array(m.get("eta", (0.17229, 0.36901, 1.5478)),
+                                  np.float64)[:3],
+                cond_k=np.array(m.get("k", (4.2223, 2.4628, 1.8063)),
+                                np.float64)[:3],
+            )
+        self.mats = ([mat_row(q["material"]) for q in sph]
+                     + [mat_row(q["material"]) for q in quads])
+        self.m_t = np.array([m["t"] for m in self.mats], np.int32)
+        self.m_rough = np.array([m["rough"] for m in self.mats])
+        self.m_dist = np.array([m["dist"] for m in self.mats], np.int32)
+        self.m_eta_t = np.array([m["eta_t"] for m in self.mats])
+        self.m_ceta = np.array([m["cond_eta"] for m in self.mats])
+        self.m_ck = np.array([m["cond_k"] for m in self.mats])
 
         # single NEE light, LIGHT_INDICES[0] (base.cl:9,92): first light in
         # scene order (spheres precede quads, scene.h:262-469)
@@ -114,10 +143,12 @@ def _quad_t(o, d, base, e0, e1, n):
 
 
 def intersect(sc: OracleScene, o, d):
-    """Closest hit -> (t, kind, idx, normal, color, is_light).
+    """Closest hit -> (t, kind, idx, normal, color, is_light, mid).
 
-    kind: 0 sphere, 1 quad, -1 miss.  Normal resolved against the ray
-    (backside flip for non-transmissive, intersect.cl:222-233).
+    kind: 0 sphere, 1 quad, -1 miss; mid is the material-table row.
+    Normal resolved against the ray EXCEPT for purely-transmissive
+    dielectrics (intersect.cl:222-233) whose outward normal encodes
+    inside/outside through wi.z's sign.
     """
     n = o.shape[0]
     best_t = np.full(n, RAY_INF)
@@ -140,19 +171,24 @@ def intersect(sc: OracleScene, o, d):
     normal = np.zeros((n, 3))
     color = np.zeros((n, 3))
     is_light = np.zeros(n, bool)
-    for i in range(len(sc.sph_r)):
+    mid = np.zeros(n, np.int32)
+    nsph = len(sc.sph_r)
+    for i in range(nsph):
         m = (kind == 0) & (idx == i)
         normal[m] = (pos[m] - sc.sph_c[i]) / sc.sph_r[i]
         color[m] = sc.sph_col[i]
         is_light[m] = sc.sph_light[i]
+        mid[m] = i
     for i in range(len(sc.q_area)):
         m = (kind == 1) & (idx == i)
         normal[m] = sc.q_n[i]
         color[m] = sc.q_col[i]
         is_light[m] = sc.q_light[i]
+        mid[m] = nsph + i
+    is_diel = (sc.m_t[mid] == 3) & (kind >= 0)
     back = np.sum(normal * d, axis=-1) > 0.0
-    normal = np.where(back[:, None], -normal, normal)
-    return best_t, kind, idx, normal, color, is_light
+    normal = np.where((back & ~is_diel)[:, None], -normal, normal)
+    return best_t, kind, idx, normal, color, is_light, mid
 
 
 def occluded(sc: OracleScene, o, d, dist):
@@ -199,6 +235,84 @@ def cosine_hemisphere_world(rng, n):
 
 def power_heuristic(p0, p1):
     return p0 * p0 / np.maximum(p0 * p0 + p1 * p1, 1e-30)
+
+
+def _to_local(n, v):
+    t, bt = _onb(n)
+    return np.stack([np.sum(t * v, -1), np.sum(bt * v, -1),
+                     np.sum(n * v, -1)], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# GGX microfacet + Fresnel (kernels/bxdf/microfacet.cl GGX branches,
+# Fresnel.cl conductorReflectance/dielectricReflectance) -- independent
+# numpy forms of the same canonical Tungsten math
+# ---------------------------------------------------------------------------
+
+def ggx_D(alpha, m):
+    mz = m[..., 2]
+    c2 = mz * mz
+    t2 = np.maximum(1.0 - c2, 0.0) / np.maximum(c2, 1e-12)
+    a2 = alpha * alpha
+    d = a2 * INV_PI / np.maximum(c2 * c2 * (a2 + t2) ** 2, 1e-30)
+    return np.where(mz <= 0.0, 0.0, d)
+
+
+def ggx_G1(alpha, v, m):
+    vz = v[..., 2]
+    back = np.sum(v * m, axis=-1) * vz <= 0.0
+    c2 = vz * vz
+    t2 = np.maximum(1.0 - c2, 0.0) / np.maximum(c2, 1e-12)
+    g = 2.0 / (1.0 + np.sqrt(1.0 + alpha * alpha * t2))
+    return np.where(back, 0.0, g)
+
+
+def ggx_G(alpha, wi, wo, m):
+    return ggx_G1(alpha, wi, m) * ggx_G1(alpha, wo, m)
+
+
+def ggx_pdf(alpha, m):
+    return ggx_D(alpha, m) * np.maximum(m[..., 2], 0.0)
+
+
+def ggx_sample(alpha, u1, u2):
+    phi = u2 * 2.0 * np.pi
+    xs = np.clip(u1, 0.0, 1.0 - 1e-7)
+    t2 = alpha * alpha * xs / (1.0 - xs)
+    cos_t = 1.0 / np.sqrt(1.0 + t2)
+    r = np.sqrt(np.maximum(1.0 - cos_t * cos_t, 0.0))
+    return np.stack([np.cos(phi) * r, np.sin(phi) * r, cos_t], axis=-1)
+
+
+def conductor_fresnel_rgb(eta, k, cos_i):
+    """conductorReflectance (Fresnel.cl), exact form, per channel."""
+    c = np.maximum(cos_i, 0.0)[..., None]
+    c2 = c * c
+    s2 = 1.0 - c2
+    e2 = eta * eta
+    k2 = k * k
+    t0 = e2 - k2 - s2
+    a2b2 = np.sqrt(np.maximum(t0 * t0 + 4.0 * e2 * k2, 0.0))
+    t1 = a2b2 + c2
+    a = np.sqrt(np.maximum(0.5 * (a2b2 + t0), 0.0))
+    t2 = 2.0 * a * c
+    rs = (t1 - t2) / np.maximum(t1 + t2, 1e-30)
+    t3 = c2 * a2b2 + s2 * s2
+    t4 = t2 * s2
+    rp = rs * (t3 - t4) / np.maximum(t3 + t4, 1e-30)
+    return 0.5 * (rs + rp)
+
+
+def dielectric_fresnel(eta, cos_i):
+    """dielectricReflectance (Fresnel.cl) -> (F, cos_t).  eta = n_i/n_t."""
+    cos_i = np.abs(cos_i)
+    s2t = eta * eta * np.maximum(1.0 - cos_i * cos_i, 0.0)
+    tir = s2t >= 1.0
+    cos_t = np.sqrt(np.maximum(1.0 - s2t, 0.0))
+    rs = (eta * cos_i - cos_t) / np.maximum(eta * cos_i + cos_t, 1e-30)
+    rp = (eta * cos_t - cos_i) / np.maximum(eta * cos_t + cos_i, 1e-30)
+    f = 0.5 * (rs * rs + rp * rp)
+    return np.where(tir, 1.0, f), np.where(tir, 0.0, cos_t)
 
 
 # --- sphere light cap sampling (sphere.cl:65-88, splat bug fixed) ----------
@@ -352,10 +466,12 @@ def render(scene_path: str, width: int, height: int, spp: int,
         was_specular = np.ones(npix, bool)  # main.cl:133
         n_total = np.zeros(npix, np.int32)
         n_diff = np.zeros(npix, np.int32)
+        n_spec = np.zeros(npix, np.int32)
+        n_trans = np.zeros(npix, np.int32)
 
         # intersect cache: bsdfSample's own intersect (base.cl:57) is the
         # same deterministic query the next launch repeats; reuse it.
-        t, kind, idx, nrm, col, isl = intersect(sc, o, d)
+        t, kind, idx, nrm, col, isl, mid = intersect(sc, o, d)
 
         for _launch in range(sc.max_bounces + 1):
             if not alive.any():
@@ -374,29 +490,108 @@ def render(scene_path: str, width: int, height: int, spp: int,
             if not shade.any():
                 break
 
-            # ---- handleSurface (base.cl:138-192), Lambert only ----
+            # ---- handleSurface (base.cl:138-192) ----
+            # per-lane material dispatch: DIFF(1) / DIEL(3) / ROUGH_COND(10)
+            mt = sc.m_t[mid]
+            is_rc = mt == 10
+            is_diel = mt == 3
+            is_diff = ~is_rc & ~is_diel
+            # NEE only for non-specular lobes (base.cl:169)
+            nee_ok = ~is_diel
+
+            pos = o + t[:, None] * d
+            wi_l = _to_local(nrm, -d)
+            alpha = np.maximum(sc.m_rough[mid], 1e-3)  # GGX alpha=roughness
+            ceta = sc.m_ceta[mid]
+            ck = sc.m_ck[mid]
+
+            def bsdf_eval_pdf(wo_world):
+                """(f*cos, pdf) of the sampleable lobes at this vertex."""
+                wo_l = _to_local(nrm, wo_world)
+                cos_o = wo_l[..., 2]
+                f_d = col * INV_PI * np.maximum(cos_o, 0.0)[:, None]
+                p_d = np.maximum(cos_o, 0.0) * INV_PI
+                hr = wi_l + wo_l
+                hr = hr / np.maximum(np.linalg.norm(hr, axis=-1,
+                                                    keepdims=True), 1e-12)
+                cos_m = np.sum(wi_l * hr, axis=-1)
+                fr_c = conductor_fresnel_rgb(ceta, ck, cos_m)
+                gd = (ggx_G(alpha, wi_l, wo_l, hr) * ggx_D(alpha, hr) * 0.25
+                      / np.maximum(wi_l[..., 2], 1e-12))
+                ok_rc = (wi_l[..., 2] > 0.0) & (cos_o > 0.0)
+                f_rc = np.where(ok_rc[:, None], col * fr_c * gd[:, None], 0.0)
+                p_rc = np.where(ok_rc, ggx_pdf(alpha, hr) * 0.25
+                                / np.maximum(cos_m, 1e-12), 0.0)
+                f = np.where(is_rc[:, None], f_rc, f_d)
+                p = np.where(is_rc, p_rc, p_d)
+                return f, p
+
             # lightSample: area/cap sample + shadow + MIS (base.cl:79-134)
             if light_sampling:
-                lw, ldist, lpdf, lvalid = light_sample(sc, rng, o + t[:, None] * d)
-                pos = o + t[:, None] * d
-                cos_o = np.sum(nrm * lw, axis=-1)
-                f = col * INV_PI * np.maximum(cos_o, 0.0)[:, None]
-                b_pdf = np.maximum(cos_o, 0.0) * INV_PI
-                cand = shade & lvalid & (cos_o > 0.0)
+                lw, ldist, lpdf, lvalid = light_sample(sc, rng, pos)
+                f, b_pdf_l = bsdf_eval_pdf(lw)
+                cand = (shade & nee_ok & lvalid
+                        & (np.sum(f * f, axis=-1) > 0.0))
                 vis = ~occluded(sc, pos, lw, ldist)
                 takem = cand & vis
-                wmis = power_heuristic(lpdf, b_pdf)
+                wmis = power_heuristic(lpdf, b_pdf_l)
                 contrib = (light_color(sc)[None] * f
                            * (wmis / np.maximum(lpdf, 1e-30))[:, None])
                 acc[takem] += mask[takem] * contrib[takem]
 
-            # bsdfSample: cosine sample + own intersect + MIS light add
-            pos = o + t[:, None] * d
-            wo, b_pdf = cosine_hemisphere_world(rng, nrm)
-            weight = col  # Lambert sample weight = albedo (Lambert.cl:4-14)
+            # bsdfSample: lobe sample + own intersect + MIS light add
+            u0 = rng.random(npix)
+            u1 = rng.random(npix)
+            u2 = rng.random(npix)
+            # Lambert: cosine hemisphere (Lambert.cl:4-14)
+            phi = 2.0 * np.pi * u1
+            r_ = np.sqrt(u2)
+            wo_diff_l = np.stack([np.cos(phi) * r_, np.sin(phi) * r_,
+                                  np.sqrt(np.maximum(1.0 - u2, 0.0))], -1)
+            pdf_diff = wo_diff_l[..., 2] * INV_PI
+            w_diff = col
+            valid_diff = wi_l[..., 2] > 0.0
+            # RoughConductor GGX (RoughConductor.cl:4-33)
+            m = ggx_sample(alpha, u1, u2)
+            wi_dot_m = np.sum(wi_l * m, axis=-1)
+            wo_rc_l = 2.0 * wi_dot_m[:, None] * m - wi_l
+            valid_rc = ((wi_l[..., 2] > 0.0) & (wi_dot_m > 0.0)
+                        & (wo_rc_l[..., 2] > 0.0))
+            g_rc = ggx_G(alpha, wi_l, wo_rc_l, m)
+            d_rc = ggx_D(alpha, m)
+            mpdf = np.maximum(ggx_pdf(alpha, m), 1e-30)
+            pdf_rc = mpdf * 0.25 / np.maximum(wi_dot_m, 1e-12)
+            w_rc = (col * conductor_fresnel_rgb(ceta, ck, wi_dot_m)
+                    * (wi_dot_m * g_rc * d_rc
+                       / np.maximum(wi_l[..., 2] * mpdf, 1e-12))[:, None])
+            # Smooth dielectric (Dielectric.cl:4-47 + BSDF2 eta^2 scaling)
+            eta_rel = np.where(wi_l[..., 2] < 0.0, sc.m_eta_t[mid],
+                               1.0 / sc.m_eta_t[mid])
+            f_di, cos_t = dielectric_fresnel(eta_rel, wi_l[..., 2])
+            refl = u0 < f_di
+            wo_di_l = np.where(
+                refl[:, None],
+                np.stack([-wi_l[..., 0], -wi_l[..., 1], wi_l[..., 2]], -1),
+                np.stack([-wi_l[..., 0] * eta_rel, -wi_l[..., 1] * eta_rel,
+                          -np.copysign(cos_t, wi_l[..., 2])], -1))
+            w_di = col * np.where(refl, 1.0, eta_rel * eta_rel)[:, None]
+            valid_di = refl | (f_di < 1.0)
+
+            wo_l = np.where(is_rc[:, None], wo_rc_l,
+                            np.where(is_diel[:, None], wo_di_l, wo_diff_l))
+            b_pdf = np.where(is_rc, pdf_rc, pdf_diff)
+            weight = np.where(is_rc[:, None], w_rc,
+                              np.where(is_diel[:, None], w_di, w_diff))
+            valid = np.where(is_rc, valid_rc,
+                             np.where(is_diel, valid_di, valid_diff))
+            spec_lobe = is_diel
+            wo = _to_global(nrm, wo_l)
+            bsdf_dead = shade & ~valid
+            alive = alive & ~bsdf_dead
+            shade = shade & valid
 
             o2 = pos
-            t2, kind2, idx2, nrm2, col2, isl2 = intersect(sc, o2, wo)
+            t2, kind2, idx2, nrm2, col2, isl2, mid2 = intersect(sc, o2, wo)
             # shade lanes at launch L have n_total == L+1, so the budget-
             # final vertex is exactly launch max_bounces-1
             is_final = _launch >= sc.max_bounces - 1
@@ -406,8 +601,10 @@ def render(scene_path: str, width: int, height: int, spp: int,
                 # directPdf (base.cl:60-66) even though only light[0] is
                 # NEE-sampled; single-light scenes are unaffected.  The
                 # oracle matches the JAX renderer: only the NEE light gets
-                # the MIS weight, others full weight.
-                hit2 = shade & isl2
+                # the MIS weight, others full weight.  Specular lobes skip
+                # the MIS add entirely (collected next launch at full
+                # weight via the wasSpecular gate, base.cl:169-186).
+                hit2 = shade & isl2 & ~spec_lobe & nee_ok
                 nee2 = is_the_nee_light(sc, kind2, idx2)
                 d_pdf = light_pdf(sc, pos, wo)
                 w2 = np.where(nee2, power_heuristic(b_pdf, d_pdf), 1.0)
@@ -419,13 +616,16 @@ def render(scene_path: str, width: int, height: int, spp: int,
                               * w2[add2][:, None])
 
             mask = np.where(shade[:, None], mask * weight, mask)
-            was_specular = np.where(shade, False, was_specular)
-            n_diff = n_diff + shade.astype(np.int32)
+            was_specular = np.where(shade, spec_lobe, was_specular)
+            n_diff = n_diff + (shade & ~is_diel).astype(np.int32)
+            n_spec = n_spec + (shade & is_diel & refl).astype(np.int32)
+            n_trans = n_trans + (shade & is_diel & ~refl).astype(np.int32)
             n_total = n_total + shade.astype(np.int32)
 
             # advance the path onto the bsdfSample ray
             o, d = o2, wo
-            t, kind, idx, nrm, col, isl = t2, kind2, idx2, nrm2, col2, isl2
+            t, kind, idx, nrm, col, isl, mid = (t2, kind2, idx2, nrm2, col2,
+                                                isl2, mid2)
             # the NEE light hit was already MIS-added above; the next
             # launch's wasSpecular gate (False) skips it -- but a non-NEE
             # light hit must still be collected at full weight, which the
@@ -434,7 +634,8 @@ def render(scene_path: str, width: int, height: int, spp: int,
             # lights next launch either (same gate) -- the full-weight
             # add2 path above is the JAX renderer's fix; mirror it:
             if collect:
-                hit_other = shade & isl2 & ~is_the_nee_light(sc, kind2, idx2)
+                hit_other = (shade & isl2 & ~spec_lobe & nee_ok
+                             & ~is_the_nee_light(sc, kind2, idx2))
                 acc[hit_other] += mask[hit_other] * col2[hit_other]
                 # mark consumed so the next launch does not re-add
                 isl = np.where(hit_other, False, isl)
@@ -454,7 +655,8 @@ def render(scene_path: str, width: int, height: int, spp: int,
             # per-lobe budgets (pathtracing.cl:108-115); the ghost launch
             # still collects the pending bsdfSample light hit -- which the
             # loop above already added inline, so budget kill is exact here
-            over = (n_total >= sc.max_bounces) | (n_diff >= sc.max_diff)
+            over = ((n_total >= sc.max_bounces) | (n_diff >= sc.max_diff)
+                    | (n_spec >= sc.max_spec) | (n_trans >= sc.max_trans))
             alive = alive & ~(shade & over)
 
         acc_img += acc

@@ -14,6 +14,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     import jax
+    # the axon plugin force-overrides JAX_PLATFORMS; honor the env var
+    want = os.environ.get("JAX_PLATFORMS")
+    if want:
+        jax.config.update("jax_platforms", want)
     import jax.numpy as jnp
     import numpy as np
     from photorealistic_rendering_using_opencl_tpu.models import pathtracer
