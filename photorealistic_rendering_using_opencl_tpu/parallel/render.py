@@ -145,7 +145,17 @@ def make_train_step(cfg: SceneConfig, width: int, height: int, spp: int,
         params = {name: getattr(scene, name) for name in param_leaves}
         loss, grads = jax.value_and_grad(_loss)(params, scene, cam, px, py,
                                                 target, seed)
-        # grads of the psum'd loss are already replicated across the mesh
+        # Under check_rep=False the psum'd loss does NOT autodiff into the
+        # correct replicated-parameter gradient: the loss-psum transpose
+        # hands every shard its LOCAL pixels' gradient scaled by n_dev, so
+        # out_specs=P() silently published shard 0's local gradient as the
+        # step (caught by tools/spmd_audit.py: the compiled step moved only
+        # the 4-byte loss scalar across chips).  The ICI all-reduce over
+        # parameter gradients must be explicit; /n_dev cancels the
+        # transpose's replication factor.  tests/test_parallel_extra.py
+        # pins update equality across device counts.
+        grads = jax.tree_util.tree_map(
+            lambda g: jax.lax.psum(g, RAYS_AXIS) / n_dev, grads)
         new_scene = scene
         for name in param_leaves:
             v = getattr(new_scene, name)

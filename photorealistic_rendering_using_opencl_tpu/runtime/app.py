@@ -277,7 +277,7 @@ def run_interactive(args) -> int:
             from photorealistic_rendering_using_opencl_tpu.ops.tonemap import tonemap
             img, _ = pathtracer.progressive_image(state)
             sys.stdout.write(terminal.CURSOR_HOME
-                             + terminal.ansi_image(np.asarray(tonemap(img)))
+                             + terminal.image_str(np.asarray(tonemap(img)))
                              + f"\n[{n} spp] > \x1b[K")
             sys.stdout.flush()
         if not _stdin_ready():

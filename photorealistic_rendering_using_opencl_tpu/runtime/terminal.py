@@ -52,3 +52,101 @@ def ansi_image(ldr: np.ndarray, max_cols: int = 64,
 
 CURSOR_HOME = "\x1b[H"
 CLEAR = "\x1b[2J"
+
+
+# ---------------------------------------------------------------------------
+# Pixel-exact terminal graphics (kitty / iTerm2 / sixel), ANSI fallback
+#
+# The reference's core UX is a live GL window (include/GL/
+# cl_gl_interop.h:30-174); modern terminals can display real raster
+# frames inline, which closes the remaining gap with zero GL dependency.
+# Protocol picked from the environment; PRT_TERM_GRAPHICS overrides
+# (kitty | iterm2 | sixel | ansi).
+# ---------------------------------------------------------------------------
+
+import base64 as _base64
+import os as _os
+
+
+def detect_protocol() -> str:
+    forced = _os.environ.get("PRT_TERM_GRAPHICS", "").lower()
+    if forced in ("kitty", "iterm2", "sixel", "ansi"):
+        return forced
+    term = _os.environ.get("TERM", "")
+    prog = _os.environ.get("TERM_PROGRAM", "")
+    if "kitty" in term or _os.environ.get("KITTY_WINDOW_ID"):
+        return "kitty"
+    if prog in ("iTerm.app", "WezTerm", "vscode") or "wezterm" in term:
+        return "iterm2"
+    if "sixel" in term or term.startswith(("mlterm", "yaft")):
+        return "sixel"
+    return "ansi"
+
+
+def kitty_image(ldr) -> str:
+    """Kitty graphics protocol: PNG transmitted inline (f=100, a=T)."""
+    from photorealistic_rendering_using_opencl_tpu.utils.image import png_bytes
+    data = _base64.standard_b64encode(png_bytes(ldr))
+    out = []
+    first = True
+    while data:
+        head, data = data[:4096], data[4096:]
+        m = 1 if data else 0
+        ctrl = f"a=T,f=100,m={m}" if first else f"m={m}"
+        out.append(f"\x1b_G{ctrl};{head.decode('ascii')}\x1b\\")
+        first = False
+    return "".join(out)
+
+
+def iterm2_image(ldr) -> str:
+    """iTerm2/WezTerm OSC 1337 inline image."""
+    from photorealistic_rendering_using_opencl_tpu.utils.image import png_bytes
+    raw = png_bytes(ldr)
+    b64 = _base64.standard_b64encode(raw).decode("ascii")
+    return (f"\x1b]1337;File=inline=1;size={len(raw)};"
+            f"preserveAspectRatio=1:{b64}\x07")
+
+
+def sixel_image(ldr, max_colors: int = 252) -> str:
+    """DEC sixel encoder: fixed 6x7x6 RGB palette, per-band color planes."""
+    u8 = np.asarray(ldr, np.float32)
+    u8 = np.clip(u8[..., :3], 0.0, 1.0)
+    # quantize to the fixed palette
+    qr = np.minimum((u8[..., 0] * 6).astype(np.int32), 5)
+    qg = np.minimum((u8[..., 1] * 7).astype(np.int32), 6)
+    qb = np.minimum((u8[..., 2] * 6).astype(np.int32), 5)
+    idx = (qr * 7 + qg) * 6 + qb  # [H,W] in [0, 252)
+    h, w = idx.shape
+    out = ["\x1bPq"]
+    # palette registers (sixel colors are 0-100 scale)
+    for r in range(6):
+        for g in range(7):
+            for b in range(6):
+                out.append(f"#{(r * 7 + g) * 6 + b};2;"
+                           f"{int(r * 100 / 5)};{int(g * 100 / 6)};"
+                           f"{int(b * 100 / 5)}")
+    for band in range(0, h, 6):
+        rows = idx[band:band + 6]
+        present = np.unique(rows)
+        for ci, color in enumerate(present):
+            bits = np.zeros((w,), np.int32)
+            for k in range(rows.shape[0]):
+                bits |= (rows[k] == color).astype(np.int32) << k
+            chars = (bits + 63).astype(np.uint8).tobytes().decode("latin1")
+            out.append(f"#{color}" + chars
+                       + ("$" if ci + 1 < len(present) else "-"))
+    out.append("\x1b\\")
+    return "".join(out)
+
+
+def image_str(ldr, protocol: str | None = None, max_cols: int = 64,
+              max_rows: int = 28) -> str:
+    """Render [H,W,3] tonemapped floats with the best available protocol."""
+    proto = protocol or detect_protocol()
+    if proto == "kitty":
+        return kitty_image(ldr)
+    if proto == "iterm2":
+        return iterm2_image(ldr)
+    if proto == "sixel":
+        return sixel_image(ldr)
+    return ansi_image(ldr, max_cols=max_cols, max_rows=max_rows)

@@ -18,8 +18,8 @@ import numpy as np
 # PNG
 # ---------------------------------------------------------------------------
 
-def write_png(path: str, img: np.ndarray) -> None:
-    """img: [H,W,3|4] uint8 or float in [0,1]."""
+def png_bytes(img: np.ndarray) -> bytes:
+    """Encode [H,W,3|4] uint8 or float in [0,1] as PNG bytes."""
     img = np.asarray(img)
     if img.dtype != np.uint8:
         img = (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
@@ -35,11 +35,14 @@ def write_png(path: str, img: np.ndarray) -> None:
                 + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
 
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color_type, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """img: [H,W,3|4] uint8 or float in [0,1]."""
     with open(path, "wb") as fh:
-        fh.write(b"\x89PNG\r\n\x1a\n")
-        fh.write(chunk(b"IHDR", ihdr))
-        fh.write(chunk(b"IDAT", zlib.compress(raw, 6)))
-        fh.write(chunk(b"IEND", b""))
+        fh.write(png_bytes(img))
 
 
 def read_png(path: str) -> np.ndarray:
