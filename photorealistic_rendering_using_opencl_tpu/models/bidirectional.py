@@ -270,20 +270,28 @@ def _mis_weight(cam: SubPath, lig: SubPath, s: int, t: int,
     return 1.0 / (1.0 + sum_ri)
 
 
+DEFAULT_DEPTH_CAP = 6
+
+
 def trace(cfg: SceneConfig, scene: SceneData, origin, direction,
           pixel_idx, sample_idx, seed=0, rng_scheme: str = "pcg4d",
           max_depth: int | None = None):
     """BDPT estimate per lane -> radiance [N,3].
 
     Path space matches the unidirectional integrator at equal budgets:
-    paths with 1..max_bounces surface vertices ending on the light.
+    paths with 1..b surface vertices ending on the light, where
+    b = min(cfg.max_bounces, DEFAULT_DEPTH_CAP) unless ``max_depth``
+    overrides it -- scenes with deeper budgets (cornell.json: 32) render
+    a TRUNCATED path space by default, and ``pathtracer.render`` warns
+    when that happens.
     """
     # BDPT cost is quadratic in depth (t_max * s_max connection
     # strategies, each with a shadow ray), so the DEFAULT caps at 6 --
     # deep specular budgets like cornell.json's 32 would compile ~33x32
     # strategies for negligible added light.  Pass max_depth explicitly to
     # go deeper.
-    b = int(min(cfg.max_bounces, 6) if max_depth is None else max_depth)
+    b = int(min(cfg.max_bounces, DEFAULT_DEPTH_CAP)
+            if max_depth is None else max_depth)
     t_max = b + 1  # allow the s=0 strategy to reach the light
     s_max = b      # q0 on the light + up to b-1 surface vertices
 

@@ -7,6 +7,7 @@ reference's scalar ``float3`` helpers (``include/Math/linear_algebra.h``,
 """
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 EPS = 1e-5
@@ -124,17 +125,24 @@ def power_heuristic(pdf0: jnp.ndarray, pdf1: jnp.ndarray) -> jnp.ndarray:
     Double-where guard: with both pdfs ~0 (masked-out lanes) the quotient's
     partial derivative overflows f32 and NaNs the backward pass.
 
-    The pdfs are also clamped to 1e12 before squaring: masked-out lanes
-    evaluate every BSDF family regardless of material, and a near-specular
-    microfacet D on such a lane reaches ~1e32, whose square overflows f32
-    to inf -- the weight's VALUE is still fine (a2/inf = 0) but its partial
-    is inf/inf = NaN, which 0-cotangents turn into NaN gradients for the
-    light's position/radius/roughness (found by the depth-32 fwd+bwd
-    bench).  Above 1e12 the heuristic is saturated at 0/1 anyway, so the
-    clamp is exact for every physically reachable pdf.
+    Overflow guard: masked-out lanes evaluate every BSDF family regardless
+    of material, and a near-specular microfacet D on such a lane reaches
+    ~1e32, whose square overflows f32 to inf -- the weight's VALUE is
+    still fine (a2/inf = 0) but its partial is inf/inf = NaN, which
+    0-cotangents turn into NaN gradients for the light's position/radius/
+    roughness (found by the depth-32 fwd+bwd bench).  Both pdfs are scaled
+    by a COMMON detached factor that brings the larger one down to 1e12,
+    so the forward ratio is preserved exactly (a ratio in pdf0/pdf1 is
+    invariant under common scaling; for pdfs <= 1e12 the factor is
+    exactly 1.0) while the squares stay finite in both the forward and
+    the transpose (ADVICE r3: the per-pdf clamp collapsed the weight to
+    0.5 when both pdfs exceeded 1e12 with different magnitudes).
     """
-    pdf0 = jnp.minimum(pdf0, 1e12)
-    pdf1 = jnp.minimum(pdf1, 1e12)
+    m = jax.lax.stop_gradient(jnp.maximum(pdf0, pdf1))
+    big = m > 1e12
+    s = jnp.where(big, 1e12 / jnp.where(big, m, 1.0), 1.0)
+    pdf0 = pdf0 * s
+    pdf1 = pdf1 * s
     p0 = pdf0 * pdf0
     denom = p0 + pdf1 * pdf1
     tiny = denom < 1e-12

@@ -107,8 +107,9 @@ def iterm2_image(ldr) -> str:
             f"preserveAspectRatio=1:{b64}\x07")
 
 
-def sixel_image(ldr, max_colors: int = 252) -> str:
-    """DEC sixel encoder: fixed 6x7x6 RGB palette, per-band color planes."""
+def sixel_image(ldr) -> str:
+    """DEC sixel encoder: fixed 6x7x6 (=252-register) RGB palette,
+    per-band color planes."""
     u8 = np.asarray(ldr, np.float32)
     u8 = np.clip(u8[..., :3], 0.0, 1.0)
     # quantize to the fixed palette
@@ -141,12 +142,23 @@ def sixel_image(ldr, max_colors: int = 252) -> str:
 
 def image_str(ldr, protocol: str | None = None, max_cols: int = 64,
               max_rows: int = 28) -> str:
-    """Render [H,W,3] tonemapped floats with the best available protocol."""
+    """Render [H,W,3] tonemapped floats with the best available protocol.
+
+    ``max_cols``/``max_rows`` bound the on-screen size for every protocol:
+    the raster protocols downscale to the character grid's pixel budget
+    (~10 px/col, ~20 px/row for typical cell metrics) so interactive mode
+    doesn't re-transmit full-resolution frames each refresh (ADVICE r3).
+    """
     proto = protocol or detect_protocol()
-    if proto == "kitty":
-        return kitty_image(ldr)
-    if proto == "iterm2":
-        return iterm2_image(ldr)
-    if proto == "sixel":
-        return sixel_image(ldr)
+    if proto in ("kitty", "iterm2", "sixel"):
+        img = np.asarray(ldr, np.float32)
+        budget_w, budget_h = max_cols * 10, max_rows * 20
+        h, w = img.shape[:2]
+        if h > budget_h or w > budget_w:
+            img = downsample(img, budget_w, budget_h)
+        if proto == "kitty":
+            return kitty_image(img)
+        if proto == "iterm2":
+            return iterm2_image(img)
+        return sixel_image(img)
     return ansi_image(ldr, max_cols=max_cols, max_rows=max_rows)

@@ -26,6 +26,11 @@ import numpy as np
 import pytest
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (multi-process/bench-scale)")
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(7)

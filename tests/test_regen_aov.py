@@ -34,6 +34,85 @@ def test_regen_matches_while_exactly():
                                    rtol=5e-4, atol=5e-4)
 
 
+def test_regen_matches_while_tight_at_low_depth():
+    """At shallow budgets (<=4 bounces) the chaotic-amplification argument
+    for the loose bound above doesn't apply, so the two drivers must agree
+    to float-noise -- a one-bounce RNG-dim offset or a systematic
+    estimator divergence cannot hide under 1e-5 (ADVICE r3)."""
+    cfg, scene = load_scene("scenes/cornell_simple.json")  # max_bounces=4
+    assert cfg.max_bounces <= 4
+    cam = default_camera(24, 24).pytree()
+    a, aa = pathtracer.render(cfg, scene, cam, 24, 24, 3, seed=4,
+                              method="while")
+    b, ab = pathtracer.render(cfg, scene, cam, 24, 24, 3, seed=4,
+                              method="regen")
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(aa), np.asarray(ab),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_regen_scan_matches_regen_bitwise():
+    """The differentiable fixed-length regen scan shares its loop body
+    with the forward while-loop verbatim -> identical estimator, including
+    with surplus (no-op) iterations."""
+    for scene_path in ("scenes/cornell_simple.json", "scenes/cornell.json"):
+        cfg, scene = load_scene(scene_path)
+        cam = default_camera(16, 16).pytree()
+        it = pathtracer.calibrate_regen_iters(cfg, scene, cam, 16, 16, 2,
+                                              seed=4)
+        a, aa = pathtracer.render(cfg, scene, cam, 16, 16, 2, seed=4,
+                                  method="regen")
+        b, ab = pathtracer.render(cfg, scene, cam, 16, 16, 2, seed=4,
+                                  method="regen_scan", regen_iters=it)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        np.testing.assert_array_equal(np.asarray(aa), np.asarray(ab))
+        # surplus iterations are no-ops
+        c, _ = pathtracer.render(cfg, scene, cam, 16, 16, 2, seed=4,
+                                 method="regen_scan",
+                                 regen_iters=it + pathtracer.integrator.SCAN_CHUNK)
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(c))
+
+
+def test_regen_scan_completed_counter():
+    import jax.numpy as jnp
+    cfg, scene = load_scene("scenes/cornell_simple.json")
+    cam = default_camera(8, 8).pytree()
+    px, py = pathtracer.pixel_grid(8, 8)
+    it = pathtracer.calibrate_regen_iters(cfg, scene, cam, 8, 8, 2, seed=1)
+    _, _, done = pathtracer.trace_regen_scan(cfg, scene, cam, 8, 8, 2,
+                                             px, py, 1, it)
+    assert int(done) == 2  # every lane finished both samples
+    _, _, done_short = pathtracer.trace_regen_scan(cfg, scene, cam, 8, 8, 2,
+                                                   px, py, 1, 2)
+    assert int(done_short) < 2  # under-budgeted run reports it
+
+
+def test_regen_scan_grad_matches_scan():
+    """regen_scan and the per-sample scan differentiate the SAME estimator
+    (bit-identical radiance per (pixel, sample)), so their gradients agree
+    to float-noise."""
+    import jax
+    import jax.numpy as jnp
+
+    cfg, scene = load_scene("scenes/cornell_simple.json")
+    cam = default_camera(12, 12).pytree()
+    it = pathtracer.calibrate_regen_iters(cfg, scene, cam, 12, 12, 2, seed=4)
+
+    def loss(color, method, regen_iters=0):
+        sc = dataclasses.replace(scene, color=color)
+        img, _ = pathtracer.render.__wrapped__(
+            cfg, sc, cam, 12, 12, 2, seed=4, method=method,
+            regen_iters=regen_iters)
+        return jnp.mean(img)
+
+    g_scan = jax.grad(lambda c: loss(c, "scan"))(scene.color)
+    g_rs = jax.grad(lambda c: loss(c, "regen_scan", it))(scene.color)
+    assert float(jnp.max(jnp.abs(g_scan))) > 0.0
+    np.testing.assert_allclose(np.asarray(g_scan), np.asarray(g_rs),
+                               rtol=1e-4, atol=1e-6)
+
+
 def _cam_rays(width):
     cam = default_camera(width, width).pytree()
     px, py = pathtracer.pixel_grid(width, width)

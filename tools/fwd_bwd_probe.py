@@ -1,7 +1,7 @@
 """Probe: full-depth fwd+bwd compile + timing at the north-star shape.
 
-Usage: python tools/fwd_bwd_probe.py [width] [spp] [max_bounces]
-(max_bounces 0 = full scene budget)
+Usage: python tools/fwd_bwd_probe.py [width] [spp] [max_bounces] [method]
+(max_bounces 0 = full scene budget; method in {scan, regen_scan})
 """
 import dataclasses
 import os
@@ -27,6 +27,7 @@ def main():
     width = int(sys.argv[1]) if len(sys.argv) > 1 else 256
     spp = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     cap = int(sys.argv[3]) if len(sys.argv) > 3 else 0
+    method = sys.argv[4] if len(sys.argv) > 4 else "scan"
     cfg, scene = load_scene("scenes/cornell.json")
     if cap:
         cfg = dataclasses.replace(
@@ -35,8 +36,17 @@ def main():
             max_spec_bounces=min(cfg.max_spec_bounces, cap),
             max_trans_bounces=min(cfg.max_trans_bounces, cap))
     cam = default_camera(width, width).pytree()
+    regen_iters = 0
+    if method == "regen_scan":
+        t0 = time.perf_counter()
+        regen_iters = pathtracer.calibrate_regen_iters(
+            cfg, scene, cam, width, width, spp, seed=3)
+        print(f"calibrated regen_iters={regen_iters} "
+              f"(vs scan {spp}x{cfg.max_bounces}="
+              f"{spp * cfg.max_bounces} steps) "
+              f"in {time.perf_counter()-t0:.1f}s", flush=True)
     print("device", jax.devices()[0], "width", width, "spp", spp,
-          "bounces", cfg.max_bounces, flush=True)
+          "bounces", cfg.max_bounces, "method", method, flush=True)
 
     leaves, treedef = jax.tree_util.tree_flatten(scene)
     is_f = [jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)
@@ -49,7 +59,8 @@ def main():
         merged = [next(it_f) if f else next(it_r) for f in is_f]
         sc = jax.tree_util.tree_unflatten(treedef, merged)
         img, _ = pathtracer.render.__wrapped__(
-            cfg, sc, cam, width, width, spp, seed=3, method="scan")
+            cfg, sc, cam, width, width, spp, seed=3, method=method,
+            regen_iters=regen_iters)
         return jnp.mean(img)
 
     vg = jax.jit(jax.value_and_grad(loss))
