@@ -55,6 +55,19 @@ class OracleScene:
 
         self.max_spec = int(s.get("MAX_SPEC_BOUNCES", 4))
         self.max_trans = int(s.get("MAX_TRANS_BOUNCES", 12))
+        self.max_scatter = int(s.get("MAX_SCATTERING_EVENTS", 12))
+
+        # global medium (scene.h:150-158: scalar sigmas premultiplied by
+        # density; sigmaT = sigmaA + sigmaS)
+        gm = doc.get("global_medium")
+        self.has_medium = gm is not None
+        density = float(gm.get("density", 0.1)) if gm else 0.0
+        self.sigma_a = np.full(3, density * float(gm.get("sigmaA", 0.2))
+                               if gm else 0.0)
+        self.sigma_s = np.full(3, density * float(gm.get("sigmaS", 1.0))
+                               if gm else 0.0)
+        self.sigma_t = self.sigma_a + self.sigma_s
+        self.absorption_only = self.has_medium and self.sigma_s.max() == 0.0
 
         sc = doc["scene"]
         sph = sc.get("spheres", [])
@@ -445,18 +458,42 @@ def camera_rays(rng, width, height, aperture=0.01, focal=4.0):
 
 def render(scene_path: str, width: int, height: int, spp: int,
            seed: int = 0, light_sampling: bool = True,
-           final_vertex_mis: bool = True):
+           final_vertex_mis: bool = True, volume_light_sampling: bool = True,
+           sigma_a=None, sigma_s=None, planted_error: str | None = None):
     """Mean image [H,W,3] under the reference estimator.
 
     ``final_vertex_mis=False`` drops the bsdfSample light contribution at
     budget-terminated vertices (the reference keeps it: handleSurface runs
     before the budget check, pathtracing.cl:86-115) -- used to quantify
     that term in tests.
+
+    ``sigma_a``/``sigma_s`` override the global medium's coefficients
+    per-channel (the JSON carries reference-parity scalars); the spectral-
+    channel distance sampling (homogeneous.cl:26-44) only exercises its
+    channel-average bookkeeping when they differ.
+
+    ``planted_error`` deliberately corrupts one medium bookkeeping term to
+    MEASURE the comparison's sensitivity (VERDICT r3 next #8):
+      * "exit_pdf": exited paths skip the /avg(exp(-tau)) pdf division
+        (homogeneous.cl:40 bookkeeping bug class);
+      * "scatter_sigma_s": drops the sigma_s factor on scatter events
+        (homogeneous.cl:45);
+      * "nee_trans": drops the exp(-sigmaT*dist) shadow-segment
+        transmittance on volumetric NEE (base.cl:216).
     """
     sc = OracleScene(scene_path)
+    if sigma_a is not None:
+        sc.sigma_a = np.asarray(sigma_a, np.float64)
+    if sigma_s is not None:
+        sc.sigma_s = np.asarray(sigma_s, np.float64)
+    if sigma_a is not None or sigma_s is not None:
+        sc.sigma_t = sc.sigma_a + sc.sigma_s
+        sc.absorption_only = sc.has_medium and sc.sigma_s.max() == 0.0
     rng = np.random.default_rng(seed)
     npix = width * height
     acc_img = np.zeros((npix, 3))
+    medium_live = sc.has_medium and not sc.absorption_only
+    inv4pi = 1.0 / (4.0 * np.pi)  # isotropic phase eval == pdf
 
     for _ in range(spp):
         o, d = camera_rays(rng, width, height)
@@ -468,26 +505,91 @@ def render(scene_path: str, width: int, height: int, spp: int,
         n_diff = np.zeros(npix, np.int32)
         n_spec = np.zeros(npix, np.int32)
         n_trans = np.zeros(npix, np.int32)
+        n_scatter = np.zeros(npix, np.int32)
 
         # intersect cache: bsdfSample's own intersect (base.cl:57) is the
         # same deterministic query the next launch repeats; reuse it.
         t, kind, idx, nrm, col, isl, mid = intersect(sc, o, d)
 
-        for _launch in range(sc.max_bounces + 1):
+        # scatter chains don't advance the bounce counter and the scatter
+        # budget resets per surface segment (pathtracing.cl:92), so the
+        # exact launch bound is multiplicative; the JAX scan instead runs
+        # max_bounces + min(budget,16) TOTAL steps -- a documented
+        # truncation whose contribution is sub-noise at test sigmas
+        launches = (sc.max_bounces * (min(sc.max_scatter, 16) + 1) + 2
+                    if medium_live else sc.max_bounces + 1)
+        for _launch in range(launches):
             if not alive.any():
                 break
-            miss = alive & (kind == -1)
+
+            # ---- global medium (pathtracing.cl:35-62) -------------------
+            scattered = np.zeros(npix, bool)
+            if medium_live:
+                # absorption-only handled by the absorption_only flag path
+                # (not exercised: the oracle scene scatters)
+                u_chan = rng.random(npix)
+                chan = np.minimum((u_chan * 3.0).astype(np.int32), 2)
+                sig_c = np.maximum(sc.sigma_t[chan], 1e-12)
+                u_dist = rng.random(npix)
+                t_free = -np.log(np.maximum(1.0 - u_dist, 1e-12)) / sig_c
+                exited = t_free >= t
+                ms_t = np.minimum(t_free, t)
+                tau = ms_t[:, None] * sc.sigma_t[None]
+                w_med = np.exp(-tau)
+                pdf_exit = np.exp(-tau).mean(-1)
+                if planted_error == "exit_pdf":
+                    pdf_exit = np.ones_like(pdf_exit)
+                pdf_scat = (sc.sigma_t[None] * np.exp(-tau)).mean(-1)
+                pdf_med = np.where(exited, pdf_exit, pdf_scat)
+                if planted_error != "scatter_sigma_s":
+                    w_med = np.where(exited[:, None], w_med,
+                                     w_med * sc.sigma_s[None])
+                w_med = w_med / np.maximum(pdf_med, 1e-30)[:, None]
+                mask = np.where(alive[:, None], mask * w_med, mask)
+                scattered = alive & ~exited & (n_scatter < sc.max_scatter)
+                ms_p = o + ms_t[:, None] * d
+                n_scatter = np.where(scattered, n_scatter + 1, n_scatter)
+                # wasSpecular = !(enableVolumeLightSampling &&
+                #                 (lowOrderScattering || scatters > 1));
+                # defaults make it False on every scatter (base.cl:210)
+                vol_nee = light_sampling and volume_light_sampling
+                was_specular = np.where(scattered, not vol_nee,
+                                        was_specular)
+
+                if vol_nee:
+                    # volumeLightSample (base.cl:194-230)
+                    lw, ldist, lpdf, lvalid = light_sample(sc, rng, ms_p)
+                    cand = scattered & lvalid
+                    vis = ~occluded(sc, ms_p, lw, ldist)
+                    wmis = power_heuristic(lpdf, inv4pi)
+                    trans = np.exp(-sc.sigma_t[None] * ldist[:, None])
+                    if planted_error == "nee_trans":
+                        trans = np.ones_like(trans)
+                    contrib = (light_color(sc)[None] * trans * inv4pi
+                               * (wmis / np.maximum(lpdf, 1e-30))[:, None])
+                    addv = cand & vis
+                    acc[addv] += mask[addv] * contrib[addv]
+
+                # isotropic phase sample (Isotropic.cl; weight 1, pdf 1/4pi)
+                z = 1.0 - 2.0 * rng.random(npix)
+                rr_ = np.sqrt(np.maximum(1.0 - z * z, 0.0))
+                ph = 2.0 * np.pi * rng.random(npix)
+                w_phase = np.stack([rr_ * np.cos(ph), rr_ * np.sin(ph), z],
+                                   axis=-1)
+
+            surf = alive & ~scattered
+            miss = surf & (kind == -1)
             # env map is black in the oracle scenes; only alpha would change
             alive = alive & ~miss
 
-            hit_light = alive & isl
+            hit_light = surf & isl
             gate = was_specular if light_sampling else np.ones(npix, bool)
             add = hit_light & gate
             acc[add] += mask[add] * col[add]
             alive = alive & ~hit_light
 
-            shade = alive.copy()
-            if not shade.any():
+            shade = alive & ~scattered
+            if not (shade.any() or scattered.any()):
                 break
 
             # ---- handleSurface (base.cl:138-192) ----
@@ -537,6 +639,10 @@ def render(scene_path: str, width: int, height: int, spp: int,
                 wmis = power_heuristic(lpdf, b_pdf_l)
                 contrib = (light_color(sc)[None] * f
                            * (wmis / np.maximum(lpdf, 1e-30))[:, None])
+                if medium_live:
+                    # shadow-segment transmittance (base.cl:124-128)
+                    contrib = contrib * np.exp(-sc.sigma_t[None]
+                                               * ldist[:, None])
                 acc[takem] += mask[takem] * contrib[takem]
 
             # bsdfSample: lobe sample + own intersect + MIS light add
@@ -590,8 +696,31 @@ def render(scene_path: str, width: int, height: int, spp: int,
             alive = alive & ~bsdf_dead
             shade = shade & valid
 
-            o2 = pos
+            # merged next ray: scattered lanes continue on the phase-sample
+            # direction from the scatter point (pathtracing.cl:57-58), the
+            # rest on the bsdfSample direction from the surface vertex; one
+            # intersect serves both volumePhaseSample's explicit light
+            # check and the next launch's cache
+            if medium_live:
+                o2 = np.where(scattered[:, None], ms_p, pos)
+                wo = np.where(scattered[:, None], w_phase, wo)
+            else:
+                o2 = pos
             t2, kind2, idx2, nrm2, col2, isl2, mid2 = intersect(sc, o2, wo)
+            trans2 = (np.exp(-sc.sigma_t[None] * t2[:, None])
+                      if medium_live else 1.0)
+
+            # volumePhaseSample light hit (base.cl:232-260): phase weight is
+            # 1 for the isotropic lobe; MIS vs the NEE light's direct pdf
+            if medium_live and light_sampling and volume_light_sampling:
+                hit_v = scattered & isl2
+                nee_v = is_the_nee_light(sc, kind2, idx2)
+                d_pdf_v = light_pdf(sc, ms_p, wo)
+                w_v = np.where(nee_v, power_heuristic(inv4pi, d_pdf_v), 1.0)
+                acc[hit_v] += (mask[hit_v] * col2[hit_v] * trans2[hit_v]
+                               * w_v[hit_v][:, None])
+                # next launch the wasSpecular gate (False) blocks a re-add
+                # and the light hit terminates the lane with zero emission
             # shade lanes at launch L have n_total == L+1, so the budget-
             # final vertex is exactly launch max_bounces-1
             is_final = _launch >= sc.max_bounces - 1
@@ -613,10 +742,12 @@ def render(scene_path: str, width: int, height: int, spp: int,
                 # the NEE light (and mark it consumed via gate=False below)
                 add2 = hit2 & nee2
                 acc[add2] += (mask[add2] * weight[add2] * col2[add2]
-                              * w2[add2][:, None])
+                              * w2[add2][:, None]
+                              * (trans2[add2] if medium_live else 1.0))
 
             mask = np.where(shade[:, None], mask * weight, mask)
             was_specular = np.where(shade, spec_lobe, was_specular)
+            n_scatter = np.where(shade, 0, n_scatter)  # pathtracing.cl:92
             n_diff = n_diff + (shade & ~is_diel).astype(np.int32)
             n_spec = n_spec + (shade & is_diel & refl).astype(np.int32)
             n_trans = n_trans + (shade & is_diel & ~refl).astype(np.int32)
@@ -636,16 +767,19 @@ def render(scene_path: str, width: int, height: int, spp: int,
             if collect:
                 hit_other = (shade & isl2 & ~spec_lobe & nee_ok
                              & ~is_the_nee_light(sc, kind2, idx2))
-                acc[hit_other] += mask[hit_other] * col2[hit_other]
+                acc[hit_other] += (mask[hit_other] * col2[hit_other]
+                                   * (trans2[hit_other] if medium_live
+                                      else 1.0))
                 # mark consumed so the next launch does not re-add
                 isl = np.where(hit_other, False, isl)
                 alive = alive & ~hit_other
                 # NEE-light MIS hits terminate next launch via the gate
                 # (reset happens there in the reference; emission adds 0)
 
-            # russian roulette (pathtracing.cl:97-106)
+            # russian roulette (pathtracing.cl:97-106; the reference rolls
+            # scattered lanes too -- RR placement changes variance only)
             r_pdf = np.max(mask, axis=-1)
-            do_rr = shade & (n_total > 2) & (r_pdf < 0.1)
+            do_rr = (shade | scattered) & (n_total > 2) & (r_pdf < 0.1)
             u = rng.random(npix)
             surv = u < r_pdf
             mask = np.where((do_rr & surv)[:, None],
