@@ -85,18 +85,26 @@ def _measure(cfg, scene, cam, width, height, spp, reps_lo, reps_hi,
     return per_frame, mean  # mean is already per-frame (timed divides)
 
 
-def _measure_fwd_bwd(cfg, scene, cam, width, spp):
+def _measure_fwd_bwd(cfg, scene, cam, width, spp, method="regen_scan"):
     """Seconds per fwd+bwd frame: value_and_grad of the mean-image loss
     w.r.t. the differentiable scene pytree (the BASELINE north-star
     shape), at the scene's FULL bounce budget (cornell: 32).  One warm +
-    two timed dispatches, best-of.  The chunked differentiable scan
-    (models/integrator.py SCAN_CHUNK) keeps the deep-budget backward
-    compile tractable; round 2 had to cap this at depth 8.
+    two timed dispatches, best-of.
+
+    Default method is the differentiable path-regeneration driver
+    (models/pathtracer.py:trace_regen_scan, round 4): full lane occupancy
+    under AD, iteration budget calibrated from the forward while-loop's
+    measured trip count (~spp*E[path length] instead of spp*budget).
     """
     import jax
     import jax.numpy as jnp
     import numpy as np
     from photorealistic_rendering_using_opencl_tpu.models import pathtracer
+
+    regen_iters = 0
+    if method == "regen_scan":
+        regen_iters = pathtracer.calibrate_regen_iters(
+            cfg, scene, cam, width, width, spp, seed=3)
 
     # differentiate w.r.t. the float leaves only (the scene pytree also
     # carries int/bool tables -- geometry types, BVH links -- that grad
@@ -112,7 +120,8 @@ def _measure_fwd_bwd(cfg, scene, cam, width, spp):
         merged = [next(it_f) if f else next(it_r) for f in is_f]
         sc = jax.tree_util.tree_unflatten(treedef, merged)
         img, _ = pathtracer.render.__wrapped__(
-            cfg, sc, cam, width, width, spp, seed=3, method="scan")
+            cfg, sc, cam, width, width, spp, seed=3, method=method,
+            regen_iters=regen_iters)
         return jnp.mean(img)
 
     vg = jax.jit(jax.value_and_grad(loss))
@@ -179,21 +188,28 @@ def main() -> None:
             last_err = f"{type(e).__name__}: {str(e)[:100]}"
             break
         samples_per_sec = width * width * spp / per_frame
-        try:
-            fb_w, fb_spp = min(width, 512), 4
-            fb_per = _measure_fwd_bwd(cfg, scene, cam if fb_w == width
-                                      else default_camera(fb_w, fb_w).pytree(),
-                                      fb_w, fb_spp)
-            fb_rate = fb_w * fb_w * fb_spp / fb_per
-            fwd_bwd = {
-                "fwd_bwd_samples_per_sec": round(fb_rate, 1),
-                "fwd_bwd_width": fb_w, "fwd_bwd_spp": fb_spp,
-                "fwd_bwd_seconds": round(fb_per, 4),
-                "fwd_bwd_bounces": cfg.max_bounces,
-            }
-        except Exception as e:
-            fb_rate = None
-            fwd_bwd = {"fwd_bwd_error": f"{type(e).__name__}: {str(e)[:80]}"}
+        fb_rate = None
+        fwd_bwd = {}
+        fb_w, fb_spp = min(width, 512), 4
+        fb_cam = cam if fb_w == width else default_camera(fb_w, fb_w).pytree()
+        for fb_method in ("regen_scan", "scan"):
+            try:
+                fb_per = _measure_fwd_bwd(cfg, scene, fb_cam, fb_w, fb_spp,
+                                          method=fb_method)
+                fb_rate = fb_w * fb_w * fb_spp / fb_per
+                fwd_bwd = {
+                    "fwd_bwd_samples_per_sec": round(fb_rate, 1),
+                    "fwd_bwd_width": fb_w, "fwd_bwd_spp": fb_spp,
+                    "fwd_bwd_seconds": round(fb_per, 4),
+                    "fwd_bwd_bounces": cfg.max_bounces,
+                    "fwd_bwd_method": fb_method,
+                }
+                break
+            except Exception as e:
+                fwd_bwd = {"fwd_bwd_error":
+                           f"{type(e).__name__}: {str(e)[:80]}"}
+                if not wait_healthy():
+                    break
         # the north-star metric is forward+backward (BASELINE.md): it
         # headlines whenever measured; forward-only throughput is reported
         # alongside with its own ratio

@@ -52,8 +52,11 @@ DIMS_PER_BOUNCE = 16
 
 # bounces per inner segment of the differentiable nested scan; deep budgets
 # compile as outer-scan-of-SCAN_CHUNK-step-scans (a flat 32-step
-# differentiated scan blows up remote XLA compile time)
-SCAN_CHUNK = 8
+# differentiated scan blows up remote XLA compile time).  Env-overridable
+# for sweeps (tools/regen_scan_probe.py); 8 won the recorded sweep
+# (PERF.md round-4).
+import os as _os
+SCAN_CHUNK = int(_os.environ.get("PRT_SCAN_CHUNK", "8"))
 
 
 class PathState(NamedTuple):
