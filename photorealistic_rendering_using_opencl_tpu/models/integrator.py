@@ -421,6 +421,21 @@ def shade_step(cfg: SceneConfig, scene: SceneData, state: PathState,
             nee_batches)
 
 
+def _self_exclusion(cfg, hit, state_after, n_scatter_before):
+    """Per-lane triangle to exclude from the NEXT dispatch (see Hit.tri).
+
+    A lane whose continuing ray originates at this mesh hit (surface
+    bounce, NEE shadow ray) must not re-test the planar triangle it sits
+    on; lanes that scattered in the medium this event continue from a
+    point INSIDE the volume, where that triangle is legitimately
+    hittable, so they are not excluded.
+    """
+    if not cfg.has_mesh or hit.tri is None:
+        return None
+    scattered_now = state_after.n_scatter > n_scatter_before
+    return jnp.where((hit.tri >= 0) & ~scattered_now, hit.tri, -1)
+
+
 def tag_hit(tree):
     """Name intersection results for the bounce scan's remat policy: the
     backward sweep re-runs the cheap elementwise shading but never the
@@ -441,9 +456,11 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
     """
     hit = tag_hit(intersect_scene(cfg, scene, state.origin, state.direction,
                                   active=state.alive))
+    was_scatter = state.n_scatter
     state, nee = shade_step(cfg, scene, state, hit, sampler)
+    excl = _self_exclusion(cfg, hit, state, was_scatter)
     vis = [shadow_visible(cfg, scene, b.origin, b.direction, b.dist,
-                          active=b.active) for b in nee]
+                          active=b.active, exclude_tri=excl) for b in nee]
     return accumulate_nee(state, nee, vis)
 
 
@@ -527,13 +544,16 @@ def trace(cfg: SceneConfig, scene: SceneData, origin, direction,
         # chunked scans pad the budget to a SCAN_CHUNK multiple; padded
         # iterations must not shade (their hit was gated off as `last`)
         state = state._replace(alive=state.alive & (bounce < n_steps))
+        was_scatter = state.n_scatter
         state, nee = shade_step(cfg, scene, state, hit, sampler)
+        excl = _self_exclusion(cfg, hit, state, was_scatter)
         # the last iteration's closest-hit result is never shaded: gate its
         # lanes off so the mesh kernel skips that work entirely
         last = bounce + 1 >= n_steps
         hit2, vis = intersect_and_shadow(
             cfg, scene, state.origin, state.direction, state.alive & ~last,
-            [(b.origin, b.direction, b.dist, b.active) for b in nee])
+            [(b.origin, b.direction, b.dist, b.active) for b in nee],
+            exclude_tri=excl)
         hit2 = tag_hit(hit2)
         vis = [tag_hit(v) for v in vis]
         return accumulate_nee(state, nee, vis), hit2

@@ -150,6 +150,7 @@ def _regen_carry0(n: int):
         pos=jnp.zeros((n, 3), jnp.float32),
         normal=jnp.zeros((n, 3), jnp.float32),
         backside=jnp.zeros((n,), bool),
+        tri=jnp.full((n,), -1, jnp.int32),
     )
     return (
         state0,
@@ -175,7 +176,9 @@ def _regen_step(cfg: SceneConfig, scene: SceneData, cam_pytree,
                       dim=integrator.CAMERA_DIMS
                       + bounce * integrator.DIMS_PER_BOUNCE)
     was_alive = state.alive
+    was_scatter = state.n_scatter
     state, nee = integrator.shade_step(cfg, scene, state, hit, sampler)
+    excl = integrator._self_exclusion(cfg, hit, state, was_scatter)
     bounce = jnp.where(was_alive, bounce + 1, bounce)
     died = was_alive & ~state.alive
     alpha_sum = alpha_sum + jnp.where(died, state.alpha, 0.0)
@@ -209,11 +212,15 @@ def _regen_step(cfg: SceneConfig, scene: SceneData, cam_pytree,
     )
     pending = pending & ~regen
     bounce = jnp.where(regen, 0, bounce)
+    if excl is not None:
+        # a regenerated lane starts from the camera, not from the surface
+        excl = jnp.where(regen, -1, excl)
 
     # 3. ONE merged dispatch: next/camera closest-hit rays + NEE shadow
     hit, vis = intersect.intersect_and_shadow(
         cfg, scene, state.origin, state.direction, state.alive,
-        [(b.origin, b.direction, b.dist, b.active) for b in nee])
+        [(b.origin, b.direction, b.dist, b.active) for b in nee],
+        exclude_tri=excl)
     hit = integrator.tag_hit(hit)
     vis = [integrator.tag_hit(v) for v in vis]
     # 4. bank the deferred NEE light (acc is cumulative across samples)
@@ -266,7 +273,7 @@ def trace_regen(cfg: SceneConfig, scene: SceneData, cam_pytree,
 def trace_regen_scan(cfg: SceneConfig, scene: SceneData, cam_pytree,
                      width: int, height: int, spp: int, px, py, seed,
                      n_iters: int, rng_scheme: str = "pcg4d",
-                     jitter: bool = True, remat: str = "segment"):
+                     jitter: bool = True, remat: str = "body"):
     """Reverse-differentiable path regeneration: the same loop body as
     ``trace_regen`` run as a FIXED-length chunked ``lax.scan``.
 

@@ -33,6 +33,15 @@ class Hit(NamedTuple):
     pos: jnp.ndarray  # [N,3]
     normal: jnp.ndarray  # [N,3] (shading normal, backside-resolved)
     backside: jnp.ndarray  # [N] bool
+    # winning triangle index in the active mesh backend's table space, -1
+    # for analytic/miss.  Fed back as the NEXT dispatch's self-exclusion:
+    # the brute kernel's bf16x3 t*den noise (~9e-5) exceeds the EPS*den^2
+    # self-intersection guard for rays originating ON their triangle, so
+    # the plane containing the origin must be excluded by INDEX (exact for
+    # planar triangles -- a ray can never legitimately re-hit the flat
+    # triangle it leaves).  Measured: 19,479/262,144 false self-hits at
+    # t~1e-5..5e-5 without it (tools/kernel_parity_probe.py; PERF.md r4).
+    tri: jnp.ndarray = None
 
     @property
     def valid(self):
@@ -451,21 +460,49 @@ OBJ_MESH_ID_OFFSET = 0  # mesh id == cfg.n_objects
 
 
 def mesh_closest(cfg: SceneConfig, scene: SceneData, origin, direction,
-                 t_init, any_hit: bool = False, active=None):
+                 t_init, any_hit: bool = False, active=None,
+                 exclude_tri=None):
     """Dispatch mesh intersection to the configured backend.
 
     Returns (t_detached [N], tri [N], tri_verts, tri_normals) where the
     tables match ``tri``'s index space; tri == -1 where nothing beats
-    ``t_init``.
+    ``t_init``.  ``exclude_tri`` ([N] int32, -1 = none) removes one
+    triangle per lane from consideration -- the self-exclusion feedback
+    for rays originating on a mesh surface (see Hit.tri).  The BVH walk
+    needs no exclusion (its t tests run in exact f32).
     """
     if cfg.mesh_accel == "brute":
         tm, tri = mesh_brute.mesh_intersect(scene.bf_feat, scene.bf_clusters,
                                             origin, direction, t_init,
-                                            active=active, any_hit=any_hit)
+                                            active=active, any_hit=any_hit,
+                                            exclude=exclude_tri)
+        tri = _validate_winner(scene.bf_tri_verts, tri, origin, direction,
+                               t_init)
         return tm, tri, scene.bf_tri_verts, scene.bf_tri_normals
     tm, tri, _, _ = bvh_traverse(scene, origin, direction, t_init,
                                  any_hit=any_hit, active=active)
     return tm, tri, scene.tri_verts, scene.tri_normals
+
+
+def _validate_winner(tri_verts, tri, origin, direction, t_init):
+    """Exact f32 re-test of the brute kernel's winning triangle.
+
+    The kernel's den-multiplied edge tests lose ~den^2 of precision, so
+    GRAZING rays (den -> 0, i.e. mesh silhouettes) can report false hits
+    even with the bf16x3 matmul -- measured as a systematic darkening of
+    teapot-rim pixels (-0.5%/bounce image energy; PERF.md round-4).  One
+    exact Moller-Trumbore on the single winning triangle per lane rejects
+    those; a rejected winner falls back to the analytic hit, which is also
+    what the exact kernel would have returned in the overwhelmingly common
+    case (the false hit shadows nothing).  On CPU the XLA kernel is exact
+    f32, so this never rejects and results are unchanged.
+    """
+    tv = tri_verts.reshape(-1, 9)[jnp.maximum(tri, 0)]
+    ok, _, _, _ = _tri_intersect(tv[:, 0:3], tv[:, 3:6], tv[:, 6:9],
+                                 origin, direction,
+                                 jnp.broadcast_to(t_init, tri.shape)
+                                 * (1.0 + 1e-5))
+    return jnp.where(ok, tri, -1)
 
 
 def traversal_cost(cfg: SceneConfig, scene: SceneData, origin, direction):
@@ -568,6 +605,14 @@ def _finish_hit(cfg: SceneConfig, scene: SceneData, origin, direction,
     resolve the shading normal (intersect.cl:222-233)."""
     if tri is not None:
         hit_m = tri >= 0
+        if not cfg.mesh_vertex_grads:
+            # keep ray-origin/direction gradients (camera, upstream
+            # materials) but detach the vertex/normal TABLES: their
+            # gather's transpose is a per-bounce [N,9] scatter-add into
+            # the [T,9] tables, measured at 2.9x the whole fwd+bwd cost
+            # (tools/bwd_anatomy.py; see SceneConfig.mesh_vertex_grads)
+            tvs = jax.lax.stop_gradient(tvs)
+            tns = jax.lax.stop_gradient(tns)
         # reattach gradients through the selected triangle (detached walk)
         tm, u, v = tri_reattach(tvs, tri, origin, direction)
         nm = normalize(bvh_smooth_normal(tns, tri, u, v))
@@ -584,17 +629,20 @@ def _finish_hit(cfg: SceneConfig, scene: SceneData, origin, direction,
     backside = jnp.sum(normal * direction, axis=-1) > 0.0
     flip = n_trans & backside
     normal = jnp.where(flip[..., None], -normal, normal)
-    return Hit(t, mesh_id, pos, normal, backside)
+    tri_out = (jnp.full(t.shape, -1, jnp.int32) if tri is None
+               else jnp.where(tri >= 0, tri, -1))
+    return Hit(t, mesh_id, pos, normal, backside, tri_out)
 
 
 def intersect_scene(cfg: SceneConfig, scene: SceneData, origin, direction,
-                    active=None) -> Hit:
+                    active=None, exclude_tri=None) -> Hit:
     t, mesh_id, normal = _closest_analytic(cfg, scene, origin, direction,
                                            active=active)
     tri = tvs = tns = None
     if cfg.has_mesh:
         _, tri, tvs, tns = mesh_closest(cfg, scene, origin, direction, t,
-                                        active=active)
+                                        active=active,
+                                        exclude_tri=exclude_tri)
     return _finish_hit(cfg, scene, origin, direction, t, mesh_id, normal,
                        tri, tvs, tns)
 
@@ -647,7 +695,7 @@ def _shadow_analytic(cfg: SceneConfig, scene: SceneData, origin, direction,
 
 
 def shadow_visible(cfg: SceneConfig, scene: SceneData, origin, direction,
-                   max_dist, active=None) -> jnp.ndarray:
+                   max_dist, active=None, exclude_tri=None) -> jnp.ndarray:
     """True where the segment [origin, origin + dir*max_dist] is unoccluded.
 
     Mirrors shadow() (intersect.cl:94-152): SDFs use the cheaper shadow
@@ -662,13 +710,15 @@ def shadow_visible(cfg: SceneConfig, scene: SceneData, origin, direction,
         # drop out of the (expensive) mesh backend via the active mask
         act = active if active is not None else jnp.ones((n,), bool)
         _, tri, _, _ = mesh_closest(cfg, scene, origin, direction, limit,
-                                    any_hit=True, active=act & ~blocked)
+                                    any_hit=True, active=act & ~blocked,
+                                    exclude_tri=exclude_tri)
         blocked = blocked | (tri >= 0)
     return ~blocked
 
 
 def intersect_and_shadow(cfg: SceneConfig, scene: SceneData,
-                         origin, direction, active, shadow_batches):
+                         origin, direction, active, shadow_batches,
+                         exclude_tri=None):
     """Closest hit for one ray batch + occlusion for K shadow batches with
     the mesh backend invoked ONCE on the concatenated (K+1)N-ray batch.
 
@@ -704,8 +754,13 @@ def intersect_and_shadow(cfg: SceneConfig, scene: SceneData,
             + [jnp.ones((b.shape[0],), bool) for b in blocked])
         act_all = jnp.concatenate(
             [act_c] + [a & ~b for a, b in zip(acts, blocked)])
+        # the closest batch and every shadow batch originate at the same
+        # per-lane vertex, so one exclusion row covers all K+1 segments
+        ex_all = (None if exclude_tri is None else
+                  jnp.tile(exclude_tri, len(shadow_batches) + 1))
         _, tri_all, tvs, tns = mesh_closest(cfg, scene, o_all, d_all, t_all,
-                                            any_hit=ah_all, active=act_all)
+                                            any_hit=ah_all, active=act_all,
+                                            exclude_tri=ex_all)
         tri = tri_all[:n]
         off = n
         for i, b in enumerate(blocked):

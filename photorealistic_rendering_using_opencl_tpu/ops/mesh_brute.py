@@ -55,12 +55,35 @@ BLOCK = int(_os.environ.get("PRT_MESH_BLOCK", "512"))  # rays per instance
 FEAT = 16  # ray feature width (10 used, padded for sublane tiling)
 BRUTE_MAX_TRIS = 32768  # above this the VMEM-resident table stops paying
 
+# MXU precision for the intersection matmul.  DEFAULT single-pass bf16
+# quantizes the [o, d, d x o] features AND the coefficient table to 8
+# mantissa bits; the u*den / v*den coefficients have magnitude ~|p0|/|e1|
+# (~40 on the teapot) against a [0, 1] signal, so quantization noise is
+# ~16% of the edge margin -- measured on cornell as 1.6% wrong winning
+# triangles / 0.26% hit<->miss flips per dispatch, compounding over ~20
+# intersections/path into a 4% mean-radiance bias (TPU 0.33679 == CPU
+# bf16-sim 0.33681 vs CPU f32 0.35109; PERF.md round-4).
+#
+# "bf16x3" (the default) splits both operands hi/lo (x = hi + lo, each
+# bf16) and runs 3 single-pass dots A_hi.P_hi + A_hi.P_lo + A_lo.P_hi,
+# recovering ~16 mantissa bits (the dropped lo.lo term is 2^-16-relative)
+# at ~2x the matmul passes of broken DEFAULT vs 3.6x for Precision
+# HIGHEST (exact f32; Mosaic does not lower Precision.HIGH in-kernel).
+# PRT_MESH_PRECISION in {default, bf16x3, highest} overrides.
+_PRECISION_NAME = _os.environ.get("PRT_MESH_PRECISION", "bf16x3")
+MATMUL_PRECISION = {
+    "default": jax.lax.Precision.DEFAULT,
+    "bf16x3": jax.lax.Precision.HIGHEST,  # XLA fallback path: exact
+    "highest": jax.lax.Precision.HIGHEST,
+}[_PRECISION_NAME]
+
 # transposed ray-pack rows 10-12 carry per-lane control values; the
 # coefficient table's rows 10-15 are all zero, so they ride through the
 # intersection matmul with no effect
 ROW_TINIT = 10
 ROW_ACTIVE = 11
 ROW_ANYHIT = 12
+ROW_EXCLUDE = 13  # self-triangle index as f32 (-1 = none); exact to 2^24
 
 
 class BrutePack(NamedTuple):
@@ -138,8 +161,18 @@ def _tile_scores(f, a_tile, c):
     Den-multiplied Moller-Trumbore: u,v,w >= 0 and t > EPS become sign
     tests on products with den, avoiding per-pair division; the division
     producing t only matters for pairs that already pass.
+
+    A bf16 coefficient table runs the matmul in bf16 x bf16 -> f32 (the
+    MXU's native fast path; ray features converted to match).  Only the
+    WINNING TRIANGLE INDEX leaves this module -- every caller re-derives
+    the exact f32 t/u/v via ops/intersect.py:tri_reattach -- so table
+    quantization can only flip near-ties between triangles within ~2^-8
+    relative t, never bias the shading position.
     """
-    out = jnp.dot(f, a_tile, preferred_element_type=jnp.float32)
+    if a_tile.dtype == jnp.bfloat16:
+        f = f.astype(jnp.bfloat16)
+    out = jnp.dot(f, a_tile, preferred_element_type=jnp.float32,
+                  precision=MATMUL_PRECISION)
     den = out[:, 0 * c:1 * c]
     tden = out[:, 1 * c:2 * c]
     uden = out[:, 2 * c:3 * c]
@@ -167,7 +200,8 @@ def _ray_features(origin, direction):
 # XLA path (CPU tests / reference semantics; scan over tiles)
 # ---------------------------------------------------------------------------
 
-def _intersect_xla(feat, clusters, origin, direction, t_init, active):
+def _intersect_xla(feat, clusters, origin, direction, t_init, active,
+                   exclude=None):
     n = origin.shape[0]
     c = TILE
     nt = feat.shape[1] // (4 * c)
@@ -178,6 +212,11 @@ def _intersect_xla(feat, clusters, origin, direction, t_init, active):
         best_t, best_i = carry
         a_tile, off = inp
         score = _tile_scores(f, a_tile, c)
+        if exclude is not None:
+            # per-lane self-exclusion (see Hit.tri in ops/intersect.py)
+            ids = off + jnp.arange(c, dtype=jnp.int32)
+            score = jnp.where(ids[None, :] == exclude[:, None],
+                              jnp.inf, score)
         tmin = jnp.min(score, axis=1)
         targ = jnp.argmin(score, axis=1).astype(jnp.int32) + off
         better = tmin < best_t
@@ -199,7 +238,7 @@ def _intersect_xla(feat, clusters, origin, direction, t_init, active):
 # Pallas TPU kernel: VMEM-resident table, cluster-skipped matmul tiles
 # ---------------------------------------------------------------------------
 
-def _make_kernel(nt: int, c: int, block: int):
+def _make_kernel(nt: int, c: int, block: int, split: bool):
     """Pure matmul kernel; all irregularity analysis happens outside.
 
     Cluster relevance (which matmul tiles some ray in the block could
@@ -225,11 +264,26 @@ def _make_kernel(nt: int, c: int, block: int):
     first occluder and never updates again (traverseShadows early-out,
     bvh.cl:43-114).
     """
-    def kernel(rel_ref, p_ref, a_ref, t_ref, i_ref):
-        p = p_ref[:]  # [FEAT, block]
-        tinit = p[ROW_TINIT:ROW_TINIT + 1, :]
-        act = p[ROW_ACTIVE:ROW_ACTIVE + 1, :] > 0.5
-        anyh = p[ROW_ANYHIT:ROW_ANYHIT + 1, :] > 0.5
+    def impl(rel_ref, p_ref, plo_ref, a_ref, alo_ref, t_ref, i_ref):
+        p = p_ref[:]  # [FEAT, block]  (bf16 hi when split, else f32)
+        if split:
+            # control rows reconstructed exactly: hi+lo reproduces f32 to
+            # 2^-16 relative, and the 0/1 flags plus RAY_INF=20 are bf16-
+            # exact, so the hi rows alone already carry them
+            plo = plo_ref[:]
+            pf = p.astype(jnp.float32) + plo.astype(jnp.float32)
+            tinit = pf[ROW_TINIT:ROW_TINIT + 1, :]
+            act = pf[ROW_ACTIVE:ROW_ACTIVE + 1, :] > 0.5
+            anyh = pf[ROW_ANYHIT:ROW_ANYHIT + 1, :] > 0.5
+            excl = pf[ROW_EXCLUDE:ROW_EXCLUDE + 1, :]
+        else:
+            tinit = p[ROW_TINIT:ROW_TINIT + 1, :]
+            act = p[ROW_ACTIVE:ROW_ACTIVE + 1, :] > 0.5
+            anyh = p[ROW_ANYHIT:ROW_ANYHIT + 1, :] > 0.5
+            excl = p[ROW_EXCLUDE:ROW_EXCLUDE + 1, :]
+            # bf16 table -> convert the pack ONCE per block (one VPU
+            # pass); bf16 x bf16 -> f32 is the MXU's native fast path.
+            pc = p.astype(jnp.bfloat16) if a_ref.dtype == jnp.bfloat16 else p
 
         # inactive lanes park at -inf so they can never record a hit even
         # when their block runs a tile for other lanes
@@ -237,6 +291,7 @@ def _make_kernel(nt: int, c: int, block: int):
         i_ref[:] = jnp.full((1, block), -1, jnp.int32)
 
         row = jax.lax.broadcasted_iota(jnp.int32, (c, block), 0)
+        rowf = row.astype(jnp.float32)
         pid = pl.program_id(0)
         nwords = -(-nt // 32)
         for j in range(nt):
@@ -248,10 +303,27 @@ def _make_kernel(nt: int, c: int, block: int):
             def _(j=j):
                 # [4C, block] = A_tile[16, 4C]^T . P[16, block]; the
                 # control rows (10-12) hit all-zero coefficient rows
-                out = jax.lax.dot_general(
-                    a_ref[:, j * 4 * c:(j + 1) * 4 * c], p,
-                    dimension_numbers=(((0,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32)
+                sl = slice(j * 4 * c, (j + 1) * 4 * c)
+                if split:
+                    # hi/lo 3-dot: ~16 effective mantissa bits from three
+                    # native single-pass bf16 matmuls (see module note)
+                    dn = (((0,), (0,)), ((), ()))
+                    a_hi = a_ref[:, sl]
+                    out = jax.lax.dot_general(
+                        a_hi, p, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
+                    out += jax.lax.dot_general(
+                        a_hi, plo, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
+                    out += jax.lax.dot_general(
+                        alo_ref[:, sl], p, dimension_numbers=dn,
+                        preferred_element_type=jnp.float32)
+                else:
+                    out = jax.lax.dot_general(
+                        a_ref[:, sl], pc,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                        precision=MATMUL_PRECISION)
                 den = out[0 * c:1 * c]
                 tden = out[1 * c:2 * c]
                 uden = out[2 * c:3 * c]
@@ -261,6 +333,8 @@ def _make_kernel(nt: int, c: int, block: int):
                                 (den - uden - vden) * den)
                 td = tden * den
                 hit = (m >= 0.0) & (td > EPS * den2)
+                # per-lane self-exclusion (see Hit.tri in ops/intersect.py)
+                hit = hit & (rowf + jnp.float32(j * c) != excl)
                 score = jnp.where(hit, td / den2, jnp.inf)
                 tmin = jnp.min(score, axis=0, keepdims=True)
                 targ = jnp.min(jnp.where(score <= tmin, row, c), axis=0,
@@ -274,6 +348,12 @@ def _make_kernel(nt: int, c: int, block: int):
         got = i_ref[:] >= 0
         t_ref[:] = jnp.where(got & jnp.isfinite(t_ref[:]), t_ref[:], tinit)
 
+    if split:
+        def kernel(rel_ref, p_ref, plo_ref, a_ref, alo_ref, t_ref, i_ref):
+            impl(rel_ref, p_ref, plo_ref, a_ref, alo_ref, t_ref, i_ref)
+    else:
+        def kernel(rel_ref, p_ref, a_ref, t_ref, i_ref):
+            impl(rel_ref, p_ref, None, a_ref, None, t_ref, i_ref)
     return kernel
 
 
@@ -328,7 +408,7 @@ def ray_cluster_count(clusters, origin, direction, t_init):
 
 
 def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
-                      any_hit=False, interpret=False):
+                      any_hit=False, exclude=None, interpret=False):
     n = origin.shape[0]
     c = TILE
     nt = feat.shape[1] // (4 * c)
@@ -337,10 +417,16 @@ def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
     act = active if active is not None else jnp.ones((n,), bool)
     t_init = jnp.broadcast_to(t_init, (n,))
     ah = jnp.broadcast_to(jnp.asarray(any_hit, jnp.float32), (n,))
+    ex = (jnp.full((n,), -1.0, jnp.float32) if exclude is None
+          else exclude.astype(jnp.float32))
 
     grid = npad // BLOCK
-    rel = _block_relevance(clusters, origin, direction, t_init,
-                           act, grid, BLOCK, pad).reshape(-1)
+    if _os.environ.get("PRT_MESH_NOREL"):  # debug: disable tile pruning
+        nt_ = clusters.shape[0]
+        rel = jnp.full((grid * (-(-nt_ // 32)),), 0xFFFFFFFF, jnp.uint32)
+    else:
+        rel = _block_relevance(clusters, origin, direction, t_init,
+                               act, grid, BLOCK, pad).reshape(-1)
 
     # transposed lane-aligned pack [FEAT, npad]: rows 0-9 the Moller-
     # Trumbore ray features, rows 10-12 control (t_init/active/anyhit);
@@ -351,22 +437,39 @@ def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
     rows = [o0, o1, o2, d0, d1, d2,
             d1 * o2 - d2 * o1, d2 * o0 - d0 * o2, d0 * o1 - d1 * o0,
             jnp.ones((n,), jnp.float32),
-            t_init, act.astype(jnp.float32), ah]
+            t_init, act.astype(jnp.float32), ah, ex]
     rows += [jnp.zeros((n,), jnp.float32)] * (FEAT - len(rows))
     p = jnp.stack(rows, axis=0)
     if pad:
         p = jnp.pad(p, ((0, 0), (0, pad)))
 
+    split = _PRECISION_NAME == "bf16x3" and feat.dtype != jnp.bfloat16
+    lane_spec = pl.BlockSpec((FEAT, BLOCK), lambda i: (0, i),
+                             memory_space=pltpu.VMEM)
+    tab_spec = pl.BlockSpec((FEAT, feat.shape[1]), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)
+    if split:
+        # hi/lo decomposition of both matmul operands (x == hi + lo with
+        # each half bf16-exact); loop-invariant, so XLA hoists the table
+        # split out of any surrounding scan
+        p_hi = p.astype(jnp.bfloat16)
+        p_lo = (p - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        a_hi = feat.astype(jnp.bfloat16)
+        a_lo = (feat - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
+        operands = (rel, p_hi, p_lo, a_hi, a_lo)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    lane_spec, lane_spec, tab_spec, tab_spec]
+        mm_passes = 3
+    else:
+        operands = (rel, p, feat)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    lane_spec, tab_spec]
+        mm_passes = 1
+
     out_t, out_i = pl.pallas_call(
-        _make_kernel(nt, c, BLOCK),
+        _make_kernel(nt, c, BLOCK, split),
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),  # rel bitmask, flat
-            pl.BlockSpec((FEAT, BLOCK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((FEAT, feat.shape[1]), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=(
             pl.BlockSpec((1, BLOCK), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
@@ -378,17 +481,17 @@ def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
             jax.ShapeDtypeStruct((1, npad), jnp.int32),
         ),
         cost_estimate=pl.CostEstimate(
-            flops=2 * npad * FEAT * 4 * feat.shape[1],
+            flops=2 * npad * FEAT * 4 * feat.shape[1] * mm_passes,
             bytes_accessed=npad * 8 * 4 + feat.size * 4,
             transcendentals=0,
         ),
         interpret=interpret,
-    )(rel, p, feat)
+    )(*operands)
     return out_t[0, :n], out_i[0, :n]
 
 
 def mesh_intersect(feat, clusters, origin, direction, t_init, active=None,
-                   any_hit=False):
+                   any_hit=False, exclude=None):
     """Closest mesh hit by exhaustive matmul testing.
 
     Returns (t [N], tri [N] int32 index into the compact bf arrays, -1 on
@@ -405,9 +508,13 @@ def mesh_intersect(feat, clusters, origin, direction, t_init, active=None,
     feat = jax.lax.stop_gradient(feat)
     if active is not None:
         active = jax.lax.stop_gradient(active)
-    if jax.devices()[0].platform == "tpu":
+    if exclude is not None:
+        exclude = jax.lax.stop_gradient(exclude)
+    if (jax.devices()[0].platform == "tpu"
+            and not _os.environ.get("PRT_MESH_FORCE_XLA")):
         return _intersect_pallas(feat, clusters, origin, direction, t_init,
-                                 active, any_hit=any_hit)
+                                 active, any_hit=any_hit, exclude=exclude)
     # the XLA fallback always computes the closest hit; that subsumes
     # any-hit semantics (tri >= 0 iff some triangle is closer than t_init)
-    return _intersect_xla(feat, clusters, origin, direction, t_init, active)
+    return _intersect_xla(feat, clusters, origin, direction, t_init, active,
+                          exclude=exclude)

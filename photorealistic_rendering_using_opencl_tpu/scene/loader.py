@@ -24,6 +24,22 @@ from photorealistic_rendering_using_opencl_tpu.scene.types import (
 )
 
 
+def _mesh_table_dtype():
+    """Coefficient-table dtype for the MXU brute kernel.
+
+    Default f32: the bf16 ablation (tools/bench_kernel.py, PERF.md
+    round-4) measured a 4% mean-radiance bias on cornell -- the
+    den-multiplied edge tests (u*den, v*den) cancel two O(|p0||e2|) terms
+    down to ~1e-3 signal, below bf16's ~4e-4 quantization noise, so edge
+    hits flip wholesale (1.8% of winner indices, 0.3% hit/miss).  Exact
+    f32 t/u/v re-derivation (tri_reattach) cannot repair a wrong winner.
+    PRT_MESH_DTYPE=bf16 keeps the measured path runnable."""
+    forced = os.environ.get("PRT_MESH_DTYPE", "")
+    if forced == "bf16":
+        return jnp.bfloat16
+    return jnp.float32
+
+
 def _pick_mesh_accel(n_tris: int) -> str:
     """Brute-force MXU testing wins while the coefficient table fits VMEM;
     bigger meshes fall back to the BVH walk.  On CPU (tests, local preview)
@@ -33,8 +49,11 @@ def _pick_mesh_accel(n_tris: int) -> str:
     if forced in ("brute", "bvh"):
         return forced
     import jax
-    limit = (mesh_brute.BRUTE_MAX_TRIS
-             if jax.devices()[0].platform == "tpu" else 2048)
+    if jax.devices()[0].platform != "tpu":
+        return "brute" if n_tris <= 2048 else "bvh"
+    limit = mesh_brute.BRUTE_MAX_TRIS
+    if _mesh_table_dtype() == jnp.bfloat16:
+        limit *= 2  # half the bytes/triangle -> twice the VMEM cap
     return "brute" if n_tris <= limit else "bvh"
 
 _DEFAULT_MODEL_DIRS = (
@@ -294,7 +313,7 @@ def build_scene(doc: dict, models_dir: str | None = None,
         data.bvh_nodes = jnp.asarray(packed[0])
         data.leaf_verts = jnp.asarray(packed[1])
         data.bvh_links = jnp.asarray(packed[4])
-        data.bf_feat = jnp.asarray(brute.feat)
+        data.bf_feat = jnp.asarray(brute.feat, dtype=_mesh_table_dtype())
         data.bf_clusters = jnp.asarray(brute.clusters)
         data.bf_tri_verts = jnp.asarray(brute.tri_verts)
         data.bf_tri_normals = jnp.asarray(brute.tri_normals)

@@ -154,6 +154,17 @@ class SceneConfig:
     # <= ~32k triangles), "bvh" = skip-link BVH walk (ops/intersect.py).
     mesh_accel: str = "brute"
 
+    # opt-in gradients w.r.t. the mesh VERTEX/NORMAL TABLES.  The
+    # transpose of the per-bounce [N,9] table gathers (tri_reattach,
+    # bvh_smooth_normal) is a scatter-add into the [T,9] tables every
+    # bounce -- measured 2.9x the whole fwd+bwd step at 512^2 x 4 spp
+    # (tools/bwd_anatomy.py, PERF.md round-4).  Off by default: ray
+    # origin/direction gradients (camera, upstream-bounce materials) and
+    # every other parameter still flow; only d(image)/d(vertex) is cut,
+    # which the BASELINE grad surface (material/camera/envmap) never
+    # demanded.  Flip on for vertex-position optimization.
+    mesh_vertex_grads: bool = False
+
     @property
     def env_nee(self) -> bool:
         return self.has_env_map and self.enable_env_sampling

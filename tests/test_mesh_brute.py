@@ -72,7 +72,11 @@ def test_pallas_kernel_matches_xla(mesh_setup, rng):
     t_p, tri_p = mesh_brute._intersect_pallas(feat, cl, o, d, tinit, None,
                                               interpret=True)
     assert (np.asarray(tri_p) == np.asarray(tri_x)).all()
-    np.testing.assert_array_equal(np.asarray(t_p), np.asarray(t_x))
+    # the kernel's bf16x3 hi/lo matmul carries ~16 mantissa bits; its t is
+    # advisory (callers re-derive exact f32 t from the index via
+    # tri_reattach), so near-equality is the contract
+    np.testing.assert_allclose(np.asarray(t_p), np.asarray(t_x), rtol=1e-3,
+                               atol=1e-5)
 
 
 def test_any_hit_matches_closest_occlusion(mesh_setup, rng):

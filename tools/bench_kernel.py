@@ -85,8 +85,53 @@ def main():
     print("tris padded:", feat.shape[1] // 4, "tiles:",
           feat.shape[1] // (4 * mb.TILE), "block:", mb.BLOCK, flush=True)
 
-    timed("full kernel f32 (closest)",
-          lambda: mb._intersect_pallas(feat, cl, o, d, tinit, None))
+    feat32 = jnp.asarray(feat, jnp.float32)
+    feat16 = jnp.asarray(feat32, jnp.bfloat16)
+
+    # --- MXU precision sweep (PERF.md round-4): DEFAULT single-pass bf16
+    # quantizes the ray features and biases edge tests; HIGH = bf16x3,
+    # HIGHEST = bf16x6.  Parity is judged against HIGHEST.
+    results = {}
+    for name in ("default", "bf16x3", "highest"):  # Mosaic rejects HIGH
+        mb._PRECISION_NAME = name
+        mb.MATMUL_PRECISION = {
+            "default": jax.lax.Precision.DEFAULT,
+            "bf16x3": jax.lax.Precision.HIGHEST,
+            "highest": jax.lax.Precision.HIGHEST}[name]
+        timed(f"full kernel f32 table, precision={name}",
+              lambda: mb._intersect_pallas(feat32, cl, o, d, tinit, None))
+        results[name] = [np.asarray(x) for x in jax.jit(
+            lambda: mb._intersect_pallas(feat32, cl, o, d, tinit, None))()]
+    for name in ("default", "bf16x3"):
+        iref, ix = results["highest"][1], results[name][1]
+        print(f"precision={name}: index agreement vs highest "
+              f"{(iref == ix).mean():.6f}  hit/miss flips "
+              f"{((iref >= 0) != (ix >= 0)).sum()}/{len(iref)}", flush=True)
+    mb._PRECISION_NAME = "default"
+    mb.MATMUL_PRECISION = jax.lax.Precision.DEFAULT
+
+    timed("full kernel bf16 table (closest)",
+          lambda: mb._intersect_pallas(feat16, cl, o, d, tinit, None))
+
+    # parity: winning-index agreement + reattached-t error where they agree
+    t32, i32 = jax.jit(lambda: mb._intersect_pallas(
+        feat32, cl, o, d, tinit, None))()
+    t16, i16 = jax.jit(lambda: mb._intersect_pallas(
+        feat16, cl, o, d, tinit, None))()
+    i32, i16 = np.asarray(i32), np.asarray(i16)
+    t32, t16 = np.asarray(t32), np.asarray(t16)
+    hit32 = i32 >= 0
+    agree = i32 == i16
+    print(f"bf16 parity: hit-rate f32 {hit32.mean():.4f}  "
+          f"index agreement {agree.mean():.6f}  "
+          f"hit/miss flips {(hit32 != (i16 >= 0)).sum()}/{len(i32)}",
+          flush=True)
+    both = hit32 & (i16 >= 0)
+    if both.any():
+        print(f"bf16 parity: kernel-t max|d| where both hit "
+              f"{np.abs(t32[both] - t16[both]).max():.2e} "
+              f"(reattach re-derives exact f32 t from the index)",
+              flush=True)
 
     # matmul-only ablation
     c, block = mb.TILE, mb.BLOCK
