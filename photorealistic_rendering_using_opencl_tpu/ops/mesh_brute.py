@@ -64,18 +64,41 @@ BRUTE_MAX_TRIS = 32768  # above this the VMEM-resident table stops paying
 # intersections/path into a 4% mean-radiance bias (TPU 0.33679 == CPU
 # bf16-sim 0.33681 vs CPU f32 0.35109; PERF.md round-4).
 #
-# "bf16x3" (the default) splits both operands hi/lo (x = hi + lo, each
-# bf16) and runs 3 single-pass dots A_hi.P_hi + A_hi.P_lo + A_lo.P_hi,
-# recovering ~16 mantissa bits (the dropped lo.lo term is 2^-16-relative)
-# at ~2x the matmul passes of broken DEFAULT vs 3.6x for Precision
-# HIGHEST (exact f32; Mosaic does not lower Precision.HIGH in-kernel).
-# PRT_MESH_PRECISION in {default, bf16x3, highest} overrides.
-_PRECISION_NAME = _os.environ.get("PRT_MESH_PRECISION", "bf16x3")
+# The fix is a STACKED-K hi/lo decomposition: split each operand into
+# bf16 words (x = x0 + x1 + x2), stack the term pairs along the
+# contracted dimension, and run ONE K = T*16 dot at native bf16 -- the
+# 128-deep systolic array pads K anyway, so the extra words are free.
+# Measured (262k interior rays, teapot): broken DEFAULT 16.6 ms;
+# bf16x3 (T=3, ~16 mantissa bits) 16.8 ms; bf16x6 (T=6, f32-exact,
+# 0/262144 disagreements vs Precision.HIGHEST) 16.8 ms; Precision
+# HIGHEST 58.1 ms.  f32-exact for free -> "bf16x6" is the default.
+# PRT_MESH_PRECISION in {default, bf16x3, bf16x6, highest} overrides.
+_PRECISION_NAME = _os.environ.get("PRT_MESH_PRECISION", "bf16x6")
 MATMUL_PRECISION = {
     "default": jax.lax.Precision.DEFAULT,
     "bf16x3": jax.lax.Precision.HIGHEST,  # XLA fallback path: exact
+    "bf16x6": jax.lax.Precision.HIGHEST,
     "highest": jax.lax.Precision.HIGHEST,
 }[_PRECISION_NAME]
+
+# stacked-K hi/lo term lists: x = x0 + x1 (+ x2), each part bf16-exact;
+# each (i, j) pair contributes a_i . p_j to the single K = len(terms)*FEAT
+# dot.  bf16x3 drops the ~2^-16-relative lo.lo term; bf16x6 keeps every
+# term above ~2^-24 (f32-equivalent).
+_SPLIT_TERMS = {
+    "bf16x3": ((0, 0), (1, 0), (0, 1)),
+    "bf16x6": ((0, 0), (1, 0), (2, 0), (0, 1), (1, 1), (0, 2)),
+}
+
+
+def _hi_lo_parts(x, n):
+    parts = []
+    rem = x
+    for _ in range(n):
+        h = rem.astype(jnp.bfloat16)
+        parts.append(h)
+        rem = rem - h.astype(jnp.float32)
+    return parts
 
 # transposed ray-pack rows 10-12 carry per-lane control values; the
 # coefficient table's rows 10-15 are all zero, so they ride through the
@@ -238,7 +261,8 @@ def _intersect_xla(feat, clusters, origin, direction, t_init, active,
 # Pallas TPU kernel: VMEM-resident table, cluster-skipped matmul tiles
 # ---------------------------------------------------------------------------
 
-def _make_kernel(nt: int, c: int, block: int, split: bool):
+def _make_kernel(nt: int, c: int, block: int, split: bool,
+                 split_terms=()):
     """Pure matmul kernel; all irregularity analysis happens outside.
 
     Cluster relevance (which matmul tiles some ray in the block could
@@ -264,14 +288,25 @@ def _make_kernel(nt: int, c: int, block: int, split: bool):
     first occluder and never updates again (traverseShadows early-out,
     bvh.cl:43-114).
     """
-    def impl(rel_ref, p_ref, plo_ref, a_ref, alo_ref, t_ref, i_ref):
-        p = p_ref[:]  # [FEAT, block]  (bf16 hi when split, else f32)
+    def impl(rel_ref, p_ref, a_ref, t_ref, i_ref):
+        p = p_ref[:]  # [FEAT, block] f32, or [3*FEAT, block] bf16 stacked
         if split:
-            # control rows reconstructed exactly: hi+lo reproduces f32 to
-            # 2^-16 relative, and the 0/1 flags plus RAY_INF=20 are bf16-
-            # exact, so the hi rows alone already carry them
-            plo = plo_ref[:]
-            pf = p.astype(jnp.float32) + plo.astype(jnp.float32)
+            # stacked-K hi/lo: p stacks [p_{j} for (i,j) in terms] (bf16)
+            # against the table stack [a_{i} ...], so ONE K=T*FEAT dot
+            # yields sum a_i.p_j -- multi-word precision at a single MXU
+            # dispatch per tile (the 128-deep systolic array pads the
+            # contracted dim anyway, so T separate K=16 dots cost ~Tx
+            # this one; measured 39.8 ms -> 16.9 ms for bf16x3).
+            # Control rows reconstructed exactly from the distinct parts.
+            pc = p
+            seen = set()
+            pf = None
+            for k, (_, jpart) in enumerate(split_terms):
+                if jpart in seen:
+                    continue
+                seen.add(jpart)
+                part = p[k * FEAT:(k + 1) * FEAT].astype(jnp.float32)
+                pf = part if pf is None else pf + part
             tinit = pf[ROW_TINIT:ROW_TINIT + 1, :]
             act = pf[ROW_ACTIVE:ROW_ACTIVE + 1, :] > 0.5
             anyh = pf[ROW_ANYHIT:ROW_ANYHIT + 1, :] > 0.5
@@ -304,26 +339,12 @@ def _make_kernel(nt: int, c: int, block: int, split: bool):
                 # [4C, block] = A_tile[16, 4C]^T . P[16, block]; the
                 # control rows (10-12) hit all-zero coefficient rows
                 sl = slice(j * 4 * c, (j + 1) * 4 * c)
-                if split:
-                    # hi/lo 3-dot: ~16 effective mantissa bits from three
-                    # native single-pass bf16 matmuls (see module note)
-                    dn = (((0,), (0,)), ((), ()))
-                    a_hi = a_ref[:, sl]
-                    out = jax.lax.dot_general(
-                        a_hi, p, dimension_numbers=dn,
-                        preferred_element_type=jnp.float32)
-                    out += jax.lax.dot_general(
-                        a_hi, plo, dimension_numbers=dn,
-                        preferred_element_type=jnp.float32)
-                    out += jax.lax.dot_general(
-                        alo_ref[:, sl], p, dimension_numbers=dn,
-                        preferred_element_type=jnp.float32)
-                else:
-                    out = jax.lax.dot_general(
-                        a_ref[:, sl], pc,
-                        dimension_numbers=(((0,), (0,)), ((), ())),
-                        preferred_element_type=jnp.float32,
-                        precision=MATMUL_PRECISION)
+                out = jax.lax.dot_general(
+                    a_ref[:, sl], pc,
+                    dimension_numbers=(((0,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                    precision=(jax.lax.Precision.DEFAULT if split
+                               else MATMUL_PRECISION))
                 den = out[0 * c:1 * c]
                 tden = out[1 * c:2 * c]
                 uden = out[2 * c:3 * c]
@@ -348,13 +369,7 @@ def _make_kernel(nt: int, c: int, block: int, split: bool):
         got = i_ref[:] >= 0
         t_ref[:] = jnp.where(got & jnp.isfinite(t_ref[:]), t_ref[:], tinit)
 
-    if split:
-        def kernel(rel_ref, p_ref, plo_ref, a_ref, alo_ref, t_ref, i_ref):
-            impl(rel_ref, p_ref, plo_ref, a_ref, alo_ref, t_ref, i_ref)
-    else:
-        def kernel(rel_ref, p_ref, a_ref, t_ref, i_ref):
-            impl(rel_ref, p_ref, None, a_ref, None, t_ref, i_ref)
-    return kernel
+    return impl
 
 
 def _block_relevance(clusters, origin, direction, t_init, act, nblocks,
@@ -443,31 +458,28 @@ def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
     if pad:
         p = jnp.pad(p, ((0, 0), (0, pad)))
 
-    split = _PRECISION_NAME == "bf16x3" and feat.dtype != jnp.bfloat16
-    lane_spec = pl.BlockSpec((FEAT, BLOCK), lambda i: (0, i),
-                             memory_space=pltpu.VMEM)
-    tab_spec = pl.BlockSpec((FEAT, feat.shape[1]), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)
+    split_terms = _SPLIT_TERMS.get(_PRECISION_NAME, ())
+    split = bool(split_terms) and feat.dtype != jnp.bfloat16
+    kfeat = len(split_terms) * FEAT if split else FEAT
     if split:
-        # hi/lo decomposition of both matmul operands (x == hi + lo with
-        # each half bf16-exact); loop-invariant, so XLA hoists the table
-        # split out of any surrounding scan
-        p_hi = p.astype(jnp.bfloat16)
-        p_lo = (p - p_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        a_hi = feat.astype(jnp.bfloat16)
-        a_lo = (feat - a_hi.astype(jnp.float32)).astype(jnp.bfloat16)
-        operands = (rel, p_hi, p_lo, a_hi, a_lo)
-        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-                    lane_spec, lane_spec, tab_spec, tab_spec]
-        mm_passes = 3
-    else:
-        operands = (rel, p, feat)
-        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-                    lane_spec, tab_spec]
-        mm_passes = 1
+        # stacked-K hi/lo decomposition (see _make_kernel); loop-
+        # invariant, so XLA hoists the table split out of any scan
+        np_parts = max(j for _, j in split_terms) + 1
+        na_parts = max(i for i, _ in split_terms) + 1
+        pp = _hi_lo_parts(p, np_parts)
+        ap = _hi_lo_parts(feat, na_parts)
+        p = jnp.concatenate([pp[j] for _, j in split_terms], axis=0)
+        feat = jnp.concatenate([ap[i] for i, _ in split_terms], axis=0)
+    operands = (rel, p, feat)
+    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                pl.BlockSpec((kfeat, BLOCK), lambda i: (0, i),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((kfeat, feat.shape[1]), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)]
+    mm_passes = len(split_terms) if split else 1
 
     out_t, out_i = pl.pallas_call(
-        _make_kernel(nt, c, BLOCK, split),
+        _make_kernel(nt, c, BLOCK, split, split_terms),
         grid=(grid,),
         in_specs=in_specs,
         out_specs=(

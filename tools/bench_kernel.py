@@ -92,17 +92,18 @@ def main():
     # quantizes the ray features and biases edge tests; HIGH = bf16x3,
     # HIGHEST = bf16x6.  Parity is judged against HIGHEST.
     results = {}
-    for name in ("default", "bf16x3", "highest"):  # Mosaic rejects HIGH
+    for name in ("default", "bf16x3", "bf16x6", "highest"):
         mb._PRECISION_NAME = name
         mb.MATMUL_PRECISION = {
             "default": jax.lax.Precision.DEFAULT,
             "bf16x3": jax.lax.Precision.HIGHEST,
+            "bf16x6": jax.lax.Precision.HIGHEST,
             "highest": jax.lax.Precision.HIGHEST}[name]
         timed(f"full kernel f32 table, precision={name}",
               lambda: mb._intersect_pallas(feat32, cl, o, d, tinit, None))
         results[name] = [np.asarray(x) for x in jax.jit(
             lambda: mb._intersect_pallas(feat32, cl, o, d, tinit, None))()]
-    for name in ("default", "bf16x3"):
+    for name in ("default", "bf16x3", "bf16x6"):
         iref, ix = results["highest"][1], results[name][1]
         print(f"precision={name}: index agreement vs highest "
               f"{(iref == ix).mean():.6f}  hit/miss flips "
