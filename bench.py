@@ -105,31 +105,45 @@ def _measure_fwd_bwd(cfg, scene, cam, width, spp, method="regen_scan"):
     if method == "regen_scan":
         regen_iters = pathtracer.calibrate_regen_iters(
             cfg, scene, cam, width, width, spp, seed=3)
+    px, py = pathtracer.pixel_grid(width, width)
 
     # differentiate w.r.t. the float leaves only (the scene pytree also
     # carries int/bool tables -- geometry types, BVH links -- that grad
-    # rejects)
+    # rejects); the CAMERA pytree rides along so all three BASELINE grad
+    # surfaces (material, camera, envmap leaves) are in the benched pass
     leaves, treedef = jax.tree_util.tree_flatten(scene)
     is_f = [jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)
             for l in leaves]
     f_leaves = [l for l, f in zip(leaves, is_f) if f]
     rest = [l for l, f in zip(leaves, is_f) if not f]
 
-    def loss(f_leaves):
+    def loss(args):
+        f_leaves, cam_p = args
         it_f, it_r = iter(f_leaves), iter(rest)
         merged = [next(it_f) if f else next(it_r) for f in is_f]
         sc = jax.tree_util.tree_unflatten(treedef, merged)
+        if method == "regen_scan":
+            acc, _, completed = pathtracer.trace_regen_scan(
+                cfg, sc, cam_p, width, width, spp, px, py, 3, regen_iters)
+            return jnp.mean(acc), completed
         img, _ = pathtracer.render.__wrapped__(
-            cfg, sc, cam, width, width, spp, seed=3, method=method,
+            cfg, sc, cam_p, width, width, spp, seed=3, method=method,
             regen_iters=regen_iters)
-        return jnp.mean(img)
+        return jnp.mean(img), jnp.asarray(spp, jnp.uint32)
 
-    vg = jax.jit(jax.value_and_grad(loss))
+    vg = jax.jit(jax.value_and_grad(loss, has_aux=True))
 
     def run():
-        val, grad = vg(f_leaves)
+        (val, completed), grad = vg((f_leaves, cam))
+        # a calibrated-but-under-budgeted iteration count would silently
+        # time partial radiance as a full frame: refuse to report it
+        if int(completed) != spp:
+            raise RuntimeError(
+                f"regen_scan under-budgeted: completed {int(completed)} "
+                f"of {spp} spp at regen_iters={regen_iters}")
         # completion barrier through a host transfer of a reduced scalar
-        return float(val) + float(sum(np.asarray(g).sum() for g in grad))
+        flat = jax.tree_util.tree_leaves(grad)
+        return float(val) + float(sum(np.asarray(g).sum() for g in flat))
 
     run()
     best = float("inf")

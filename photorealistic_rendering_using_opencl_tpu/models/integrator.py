@@ -112,29 +112,81 @@ def _select_rows(arr, mesh_id):
     return out
 
 
+def _fetch_rows_impl(table, idx):
+    return (_select_rows(table, idx)
+            if table.shape[0] <= _SELECT_MAX_OBJECTS else table[idx])
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=())
+def fetch_float_rows(table, idx):
+    """``table[idx]`` ([K,F] by [N] -> [N,F]) with an MXU transpose.
+
+    Forward: the usual select chain (or gather for big tables).  Backward:
+    the VJP of a row-fetch is a segment-sum of the [N,F] cotangent into
+    the [K,F] table -- autodiff of the select chain emits K masked
+    [N,F]->[F] reductions PER FIELD PER ITERATION, which is the measured
+    round-4 backward bottleneck (tools/bwd_anatomy.py: parameter-gradient
+    accumulation dominates the 3.6x AD multiplier).  Here it is ONE
+    one-hot [K,N]x[N,F] matmul on the MXU instead.  HIGHEST precision
+    keeps the accumulation f32-exact (the one-hot operand is exactly
+    representable; single-pass bf16 would quantize the cotangents --
+    the round-4 mesh-kernel lesson, PERF.md).
+    """
+    return _fetch_rows_impl(table, idx)
+
+
+def _fetch_float_rows_fwd(table, idx):
+    return _fetch_rows_impl(table, idx), (idx, table.shape[0])
+
+
+def _fetch_float_rows_bwd(res, g):
+    import numpy as np
+    idx, k = res
+    onehot = (idx[:, None] == jnp.arange(k, dtype=idx.dtype)[None, :])
+    d_table = jax.lax.dot_general(
+        onehot.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)  # [K,F]
+    return d_table, np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+fetch_float_rows.defvjp(_fetch_float_rows_fwd, _fetch_float_rows_bwd)
+
+
 def gather_material(cfg: SceneConfig, scene: SceneData, mesh_id
                     ) -> bsdf_ops.MatProps:
     """Per-ray material fetch; the OBJ mesh (id == n_objects) uses the
-    dedicated obj_* slots (src/main.cpp:404-405)."""
-    idx = jnp.clip(mesh_id, 0, scene.mat_type.shape[0] - 1)
-    fetch = (_select_rows
-             if scene.mat_type.shape[0] <= _SELECT_MAX_OBJECTS
+    dedicated obj_* slots (src/main.cpp:404-405).
+
+    The four float fields are packed into one [K(+1), 10] row table --
+    [color | eta | k | roughness] with the OBJ material as the last row --
+    so the whole fetch is ONE ``fetch_float_rows`` call whose backward is
+    a single MXU matmul (see above); the int fields (no gradients) keep
+    the plain select chain.
+    """
+    k_obj = scene.mat_type.shape[0]
+    idx = jnp.clip(mesh_id, 0, k_obj - 1)
+    rows = jnp.concatenate(
+        [scene.color, scene.eta, scene.k, scene.roughness[:, None]], axis=1)
+    if cfg.has_mesh:
+        obj_row = jnp.concatenate(
+            [scene.obj_color, scene.obj_eta, scene.obj_k,
+             scene.obj_roughness[None]])
+        rows = jnp.concatenate([rows, obj_row[None]], axis=0)
+        idx = jnp.where(mesh_id == cfg.n_objects, k_obj, idx)
+    vals = fetch_float_rows(rows, idx)  # [N,10]
+
+    fetch = (_select_rows if k_obj <= _SELECT_MAX_OBJECTS
              else lambda arr, i: arr[i])
+    iidx = jnp.clip(mesh_id, 0, k_obj - 1)
     props = bsdf_ops.MatProps(
-        color=fetch(scene.color, idx), eta=fetch(scene.eta, idx),
-        k=fetch(scene.k, idx),
-        roughness=fetch(scene.roughness, idx),
-        mat_type=fetch(scene.mat_type, idx),
-        lobes=fetch(scene.lobes, idx), dist=fetch(scene.dist, idx),
+        color=vals[:, 0:3], eta=vals[:, 3:6], k=vals[:, 6:9],
+        roughness=vals[:, 9],
+        mat_type=fetch(scene.mat_type, iidx),
+        lobes=fetch(scene.lobes, iidx), dist=fetch(scene.dist, iidx),
     )
     if cfg.has_mesh:
         is_obj = (mesh_id == cfg.n_objects)
-        io1 = is_obj[..., None]
-        props = bsdf_ops.MatProps(
-            color=jnp.where(io1, scene.obj_color, props.color),
-            eta=jnp.where(io1, scene.obj_eta, props.eta),
-            k=jnp.where(io1, scene.obj_k, props.k),
-            roughness=jnp.where(is_obj, scene.obj_roughness, props.roughness),
+        props = props._replace(
             mat_type=jnp.where(is_obj, scene.obj_mat_type, props.mat_type),
             lobes=jnp.where(is_obj, scene.obj_lobes, props.lobes),
             dist=jnp.where(is_obj, scene.obj_dist, props.dist),
@@ -451,8 +503,12 @@ def bounce_step(cfg: SceneConfig, scene: SceneData, state: PathState,
     Single-dispatch-per-phase form: intersect, shade, then one shadow call
     per NEE batch.  The production drivers (``trace``/``trace_regen``)
     instead pipeline ``shade_step`` with the merged
-    ``intersect_and_shadow`` dispatch; this wrapper keeps the one-call
-    bounce semantics for tools and tests (identical estimator).
+    ``intersect_and_shadow`` dispatch.  Same estimator in exact
+    arithmetic; on TPU brute-mesh scenes the production drivers
+    additionally thread the previous bounce's self-exclusion into the
+    closest-hit dispatch, which this single-bounce wrapper cannot (no
+    previous bounce), so grazing TPU self-hits can differ at the
+    _validate_winner backstop level.  Tools/tests only.
     """
     hit = tag_hit(intersect_scene(cfg, scene, state.origin, state.direction,
                                   active=state.alive))

@@ -213,8 +213,12 @@ def _regen_step(cfg: SceneConfig, scene: SceneData, cam_pytree,
     pending = pending & ~regen
     bounce = jnp.where(regen, 0, bounce)
     if excl is not None:
-        # a regenerated lane starts from the camera, not from the surface
-        excl = jnp.where(regen, -1, excl)
+        # per-segment exclusion: a regenerated lane's closest ray starts
+        # from the camera (exclude nothing), but its NEE shadow rays were
+        # sampled at the OLD path's terminal vertex and must still exclude
+        # the triangle they originate on
+        excl = ([jnp.where(regen, -1, excl)] + [excl] * len(nee)
+                if nee else jnp.where(regen, -1, excl))
 
     # 3. ONE merged dispatch: next/camera closest-hit rays + NEE shadow
     hit, vis = intersect.intersect_and_shadow(
@@ -319,15 +323,15 @@ def trace_regen_scan(cfg: SceneConfig, scene: SceneData, cam_pytree,
         # integrator.trace's chunked scan); the budget rounds UP to a
         # chunk multiple -- surplus iterations are no-ops.
         #
-        # remat="segment" (default) puts the checkpoint boundary on the
-        # WHOLE inner chunk: the backward saves only chunk-boundary
-        # carries plus the named per-iteration "hit" records, and re-runs
-        # the (cheap, elementwise) shading of one segment at a time --
-        # never the traversal kernels, whose outputs are the saved hits.
-        # remat="body" checkpoints each iteration instead, which makes the
-        # scans save every per-iteration carry (~80 B/lane/iter of HBM --
-        # measured 3.5 GB temp at 512^2 x 4spp x 64 iters, vs the hit
-        # records' ~0.9 GB).
+        # remat="body" (default) checkpoints each iteration: the scans
+        # save every per-iteration carry (~80 B/lane/iter of HBM) plus the
+        # named "hit" records, and the backward re-runs only one
+        # iteration's elementwise shading at a time -- measured 3.50 GB
+        # temp / 4.61 s at 512^2 x 4 spp x 64 iters.  remat="segment"
+        # moves the boundary to the WHOLE inner chunk, which was the
+        # memory hypothesis but LOST on both axes (12.42 GB / 6.39 s: XLA
+        # rebuffers the recompute segment; PERF.md round-4), so it stays
+        # opt-in for sweeps only.
         n_outer = -(-n_iters // chunk)
 
         if remat == "segment":

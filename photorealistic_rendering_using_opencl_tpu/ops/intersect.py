@@ -730,6 +730,12 @@ def intersect_and_shadow(cfg: SceneConfig, scene: SceneData,
     closest-hit rays into a single mixed dispatch (per-lane any-hit flag).
 
     ``shadow_batches``: list of (origin, direction, max_dist, active).
+    ``exclude_tri`` may be one [N] row (same exclusion for every segment --
+    valid when closest and shadow rays share their origin vertex) or a
+    list of K+1 rows ([closest] + one per shadow batch) for drivers where
+    the segments originate at different vertices (the regeneration loop:
+    a regenerated lane's camera ray excludes nothing while its terminal-
+    vertex NEE shadow ray still excludes the triangle it sits on).
     Returns (Hit for the closest batch, [visible bool arrays]).
     """
     n = origin.shape[0]
@@ -754,10 +760,15 @@ def intersect_and_shadow(cfg: SceneConfig, scene: SceneData,
             + [jnp.ones((b.shape[0],), bool) for b in blocked])
         act_all = jnp.concatenate(
             [act_c] + [a & ~b for a, b in zip(acts, blocked)])
-        # the closest batch and every shadow batch originate at the same
-        # per-lane vertex, so one exclusion row covers all K+1 segments
-        ex_all = (None if exclude_tri is None else
-                  jnp.tile(exclude_tri, len(shadow_batches) + 1))
+        if exclude_tri is None:
+            ex_all = None
+        elif isinstance(exclude_tri, (list, tuple)):
+            assert len(exclude_tri) == len(shadow_batches) + 1
+            ex_all = jnp.concatenate(list(exclude_tri))
+        else:
+            # one vertex per lane: the same exclusion row covers all K+1
+            # segments (trace's software-pipelined step)
+            ex_all = jnp.tile(exclude_tri, len(shadow_batches) + 1)
         _, tri_all, tvs, tns = mesh_closest(cfg, scene, o_all, d_all, t_all,
                                             any_hit=ah_all, active=act_all,
                                             exclude_tri=ex_all)

@@ -21,7 +21,7 @@ from typing import Any
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from photorealistic_rendering_using_opencl_tpu.models import integrator, pathtracer
@@ -99,7 +99,7 @@ def render_sharded(cfg: SceneConfig, scene: SceneData, cam: Any,
         # while_loop carries mix shard-varying ray state with fresh
         # constants; disable the vma replication checker (no collectives
         # are needed in the forward path anyway).
-        check_rep=False,
+        check_vma=False,
     )
     seed = jnp.asarray(seed, jnp.uint32)
     rad, alpha = fn(scene, cam, px, py, seed)
@@ -145,7 +145,7 @@ def make_train_step(cfg: SceneConfig, width: int, height: int, spp: int,
         params = {name: getattr(scene, name) for name in param_leaves}
         loss, grads = jax.value_and_grad(_loss)(params, scene, cam, px, py,
                                                 target, seed)
-        # Under check_rep=False the psum'd loss does NOT autodiff into the
+        # Under check_vma=False the psum'd loss does NOT autodiff into the
         # correct replicated-parameter gradient: the loss-psum transpose
         # hands every shard its LOCAL pixels' gradient scaled by n_dev, so
         # out_specs=P() silently published shard 0's local gradient as the
@@ -166,7 +166,7 @@ def make_train_step(cfg: SceneConfig, width: int, height: int, spp: int,
         _grad_step, mesh=mesh,
         in_specs=(P(), P(), P(RAYS_AXIS), P(RAYS_AXIS), P(RAYS_AXIS), P()),
         out_specs=(P(), P()),
-        check_rep=False,
+        check_vma=False,
     )
 
     @jax.jit

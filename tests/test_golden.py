@@ -25,3 +25,12 @@ def test_golden(name):
     assert np.isfinite(img).all()
     np.testing.assert_allclose(img, ref_img, rtol=1e-4, atol=1e-5)
     np.testing.assert_allclose(alpha, ref_alpha, rtol=1e-4, atol=1e-5)
+
+
+def test_cornell_hi_auto_picks_bvh_walk():
+    """>BRUTE_MAX_TRIS meshes must auto-select the skip-link walk (the
+    brute kernel's coefficient table would not fit VMEM)."""
+    from photorealistic_rendering_using_opencl_tpu.scene.loader import load_scene
+    cfg, _ = load_scene("scenes/cornell_hi.json")
+    assert cfg.n_triangles == 81920
+    assert cfg.mesh_accel == "bvh"

@@ -13,6 +13,10 @@ The round-4 sweep measured fwd-only 1.10 s vs fwd+bwd 4.66 s at
            custom_vjp barrier's fusion cost
   chunk4   SCAN_CHUNK=4 (smaller differentiated segment)
 
+Round-5 addition: ``fields:a,b,c`` variants differentiate w.r.t. a named
+subset of SceneData fields, decomposing the all-leaves gap into parameter
+groups (material tables vs geometry tables vs light/medium scalars).
+
 Usage: python tools/bwd_anatomy.py [width] [spp] [variant|all-variants]
 """
 import os
@@ -24,6 +28,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 VARIANTS = ("all", "one", "nosan", "chunk4")
+GROUPS = {
+    "mat": "color,eta,k,roughness,obj_color,obj_eta,obj_k,obj_roughness",
+    "geom": ("position,params,quad_base,quad_edge0,quad_edge1,quad_normal,"
+             "quad_area"),
+}
 
 
 def run_one(width, spp, variant):
@@ -57,6 +66,16 @@ def run_one(width, spp, variant):
                 cfg, sc, cam, width, width, spp, px, py, 3, regen_iters)
             return jnp.mean(acc)
         arg = scene.obj_color
+    elif variant.startswith("fields:"):
+        import dataclasses
+        names = variant.split(":", 1)[1].split(",")
+
+        def loss(vals):
+            sc = dataclasses.replace(scene, **dict(zip(names, vals)))
+            acc, _, _ = pathtracer.trace_regen_scan(
+                cfg, sc, cam, width, width, spp, px, py, 3, regen_iters)
+            return jnp.mean(acc)
+        arg = [getattr(scene, n) for n in names]
     else:
         leaves, treedef = jax.tree_util.tree_flatten(scene)
         is_f = [jnp.issubdtype(jnp.asarray(l).dtype, jnp.floating)
@@ -103,7 +122,12 @@ def main():
     if os.environ.get("PRT_PROBE_CHILD"):
         run_one(width, spp, which)
         return
-    variants = VARIANTS if which == "all-variants" else (which,)
+    if which == "all-variants":
+        variants = VARIANTS
+    elif which in GROUPS:
+        variants = (f"fields:{GROUPS[which]}",)
+    else:
+        variants = (which,)
     for v in variants:
         env = dict(os.environ, PRT_PROBE_CHILD="1")
         if v == "chunk4":
