@@ -36,7 +36,8 @@ from photorealistic_rendering_using_opencl_tpu.ops.intersect import (
     Hit, intersect_and_shadow, intersect_scene, shadow_visible,
 )
 from photorealistic_rendering_using_opencl_tpu.ops.math import (
-    RAY_INF, fmax3, power_heuristic, to_global, to_local,
+    RAY_INF, fetch_float_rows, fmax3, power_heuristic, select_rows,
+    to_global, to_local,
 )
 from photorealistic_rendering_using_opencl_tpu.ops.rng import Sampler
 from photorealistic_rendering_using_opencl_tpu.scene.types import (
@@ -93,63 +94,10 @@ def init_state(origin, direction) -> PathState:
     )
 
 
+# shared row-fetch helpers live in ops/math.py (intersect.py uses them for
+# the analytic winner reattach too); aliases kept for existing callers
 _SELECT_MAX_OBJECTS = 24
-
-
-def _select_rows(arr, mesh_id):
-    """arr[K,...] indexed by mesh_id[N] as a compare/select chain.
-
-    Per-ray gathers cost ~10-50x an elementwise op on TPU; for the small
-    object tables of typical scenes a K-way select chain of broadcast rows
-    is far cheaper (measured 3x whole-frame on cornell, see PERF.md)."""
-    out = jnp.broadcast_to(arr[0],
-                           mesh_id.shape + arr.shape[1:]).astype(arr.dtype)
-    for i in range(1, arr.shape[0]):
-        m = mesh_id == i
-        if arr.ndim > 1:
-            m = m[..., None]
-        out = jnp.where(m, arr[i], out)
-    return out
-
-
-def _fetch_rows_impl(table, idx):
-    return (_select_rows(table, idx)
-            if table.shape[0] <= _SELECT_MAX_OBJECTS else table[idx])
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=())
-def fetch_float_rows(table, idx):
-    """``table[idx]`` ([K,F] by [N] -> [N,F]) with an MXU transpose.
-
-    Forward: the usual select chain (or gather for big tables).  Backward:
-    the VJP of a row-fetch is a segment-sum of the [N,F] cotangent into
-    the [K,F] table -- autodiff of the select chain emits K masked
-    [N,F]->[F] reductions PER FIELD PER ITERATION, which is the measured
-    round-4 backward bottleneck (tools/bwd_anatomy.py: parameter-gradient
-    accumulation dominates the 3.6x AD multiplier).  Here it is ONE
-    one-hot [K,N]x[N,F] matmul on the MXU instead.  HIGHEST precision
-    keeps the accumulation f32-exact (the one-hot operand is exactly
-    representable; single-pass bf16 would quantize the cotangents --
-    the round-4 mesh-kernel lesson, PERF.md).
-    """
-    return _fetch_rows_impl(table, idx)
-
-
-def _fetch_float_rows_fwd(table, idx):
-    return _fetch_rows_impl(table, idx), (idx, table.shape[0])
-
-
-def _fetch_float_rows_bwd(res, g):
-    import numpy as np
-    idx, k = res
-    onehot = (idx[:, None] == jnp.arange(k, dtype=idx.dtype)[None, :])
-    d_table = jax.lax.dot_general(
-        onehot.astype(g.dtype), g, (((0,), (0,)), ((), ())),
-        precision=jax.lax.Precision.HIGHEST)  # [K,F]
-    return d_table, np.zeros(idx.shape, dtype=jax.dtypes.float0)
-
-
-fetch_float_rows.defvjp(_fetch_float_rows_fwd, _fetch_float_rows_bwd)
+_select_rows = select_rows
 
 
 def gather_material(cfg: SceneConfig, scene: SceneData, mesh_id

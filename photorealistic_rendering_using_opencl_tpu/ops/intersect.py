@@ -17,13 +17,17 @@ from __future__ import annotations
 from typing import NamedTuple
 
 import jax
+import jax.ad_checkpoint
 import jax.numpy as jnp
 
 from photorealistic_rendering_using_opencl_tpu.ops import mesh_brute
-from photorealistic_rendering_using_opencl_tpu.ops.math import EPS, RAY_INF, normalize
+from photorealistic_rendering_using_opencl_tpu.ops.math import (
+    EPS, RAY_INF, fetch_float_rows, normalize, select_rows,
+)
 from photorealistic_rendering_using_opencl_tpu.scene.types import (
-    DIEL, ROUGH_DIEL, SceneConfig, SceneData,
+    BOX, DIEL, QUAD, ROUGH_DIEL, SceneConfig, SceneData, SDF,
     SDF_BOX, SDF_CYLINDER, SDF_PLANE, SDF_ROUND_BOX, SDF_SPHERE, SDF_TORUS,
+    SPHERE,
 )
 
 
@@ -440,6 +444,105 @@ def sdf_reattach(origin, direction, t_det, centers, geom_type, params,
     return t_det - f / dfdt
 
 
+def _surface_f(cfg, gt, p, c, prm, qb, qe0, qe1, qn):
+    """Signed surface function F(p, params) of the winning analytic
+    object: zero on the surface, smooth in p and in every table row.
+    Per-lane dispatch on the (detached) geometry-type bits; absent
+    primitive classes compile out (SceneConfig gating)."""
+    rel = p - c
+    out = jnp.zeros(p.shape[:-1], jnp.float32)
+    if cfg.n_sdfs:
+        out = jnp.where((gt & SDF) != 0, sd_primitive(gt, rel, prm), out)
+    if cfg.n_quads:
+        anchor = qb - (qe0 + qe1) * 0.5
+        out = jnp.where((gt & QUAD) != 0,
+                        jnp.sum(qn * (p - anchor), axis=-1), out)
+    if cfg.n_boxes:
+        out = jnp.where((gt & BOX) != 0,
+                        jnp.max(jnp.abs(rel) - prm[:, 0:3], axis=-1), out)
+    if cfg.n_spheres:
+        out = jnp.where((gt & SPHERE) != 0,
+                        jnp.sum(rel * rel, axis=-1)
+                        - prm[:, 0] * prm[:, 0], out)
+    return out
+
+
+def analytic_reattach(cfg: SceneConfig, scene: SceneData, origin, direction,
+                      t_det, mesh_id, normal_det):
+    """Winner-only differentiable (t, normal) for analytic hits.
+
+    ``_closest_analytic`` runs fully detached (see its docstring); this
+    reattaches first-order-exact derivatives through the SELECTED object
+    only, the same pattern as ``tri_reattach``/``sdf_reattach``: with
+    F(o + t*d, params) = 0 defining the hit implicitly, the correction
+
+        t = t_det - (F - stop(F)) / stop(dF/dt)
+
+    is BITWISE t_det in the primal (F - stop(F) == 0 exactly) while its
+    gradient is the implicit-function-theorem derivative w.r.t. ray
+    origin/direction and the object tables.  The winner's parameter rows
+    arrive through ONE packed ``fetch_float_rows`` gather whose transpose
+    is a single MXU matmul (ops/math.py), so the backward cost is
+    winner-only elementwise math instead of the full [rays x objects]
+    primitive sweep.  Normals get the same zero-in-primal correction.
+    """
+    if cfg.n_objects == 0:
+        return t_det, normal_det
+    k = scene.position.shape[0]
+    analytic = (mesh_id >= 0) & (mesh_id < cfg.n_objects)
+    idx = jnp.clip(mesh_id, 0, k - 1)
+    rows = jnp.concatenate(
+        [scene.position, scene.params, scene.quad_base, scene.quad_edge0,
+         scene.quad_edge1, scene.quad_normal], axis=1)  # [K,19]
+    g = fetch_float_rows(rows, idx)
+    c, prm = g[:, 0:3], g[:, 3:7]
+    qb, qe0, qe1, qn = g[:, 7:10], g[:, 10:13], g[:, 13:16], g[:, 16:19]
+    gt = select_rows(jax.lax.stop_gradient(scene.geom_type), idx)
+
+    t_sg = jax.lax.stop_gradient(t_det)
+    p = origin + direction * t_sg[..., None]
+    f = _surface_f(cfg, gt, p, c, prm, qb, qe0, qe1, qn)
+
+    # dF/dt via a detached JVP in the ray direction (grazing-guarded)
+    o_sg, d_sg = jax.lax.stop_gradient((origin, direction))
+    args_sg = jax.lax.stop_gradient((c, prm, qb, qe0, qe1, qn))
+    _, dfdt = jax.jvp(
+        lambda pp: _surface_f(cfg, gt, pp, *args_sg),
+        (o_sg + d_sg * t_sg[..., None],), (d_sg,))
+    dfdt = jnp.where(jnp.abs(dfdt) < 1e-6, jnp.copysign(1e-6, dfdt), dfdt)
+
+    t_re = t_det - jnp.where(analytic, f - jax.lax.stop_gradient(f), 0.0) \
+        / dfdt
+
+    # normal: differentiable recomputation per type, folded in as a
+    # zero-in-primal correction (box face normals are piecewise constant
+    # in both ray and params -- detached is exact a.e.)
+    n_dif = jax.lax.stop_gradient(normal_det)
+    if cfg.n_sdfs:
+        e = EPS * 2.0
+        grads = []
+        for axis in range(3):
+            off = jnp.zeros((3,), jnp.float32).at[axis].set(e)
+            grads.append(sd_primitive(gt, p + off - c, prm)
+                         - sd_primitive(gt, p - off - c, prm))
+        n_sdf = normalize(jnp.stack(grads, axis=-1))
+        n_dif = jnp.where((gt & SDF)[..., None] != 0, n_sdf, n_dif)
+    if cfg.n_quads:
+        n_dif = jnp.where((gt & QUAD)[..., None] != 0, qn, n_dif)
+    if cfg.n_spheres:
+        n_dif = jnp.where((gt & SPHERE)[..., None] != 0,
+                          normalize(p - c), n_dif)
+    # detached winners may have been sign-flipped against the ray after
+    # the raw geometric normal was computed: match the stored primal's
+    # SIGN so the correction stays zero-in-primal per component
+    sign = jnp.sign(jnp.sum(n_dif * jax.lax.stop_gradient(normal_det),
+                            axis=-1, keepdims=True))
+    n_dif = n_dif * jnp.where(sign == 0.0, 1.0, sign)
+    n_re = normal_det + jnp.where(
+        analytic[..., None], n_dif - jax.lax.stop_gradient(n_dif), 0.0)
+    return t_re, n_re
+
+
 def bvh_smooth_normal(tri_normals, tri, u, v):
     """Barycentric vertex-normal interpolation (triangle.cl:29-37).
 
@@ -471,6 +574,13 @@ def mesh_closest(cfg: SceneConfig, scene: SceneData, origin, direction,
     for rays originating on a mesh surface (see Hit.tri).  The BVH walk
     needs no exclusion (its t tests run in exact f32).
     """
+    # the winning-index output is named for the bounce scan's remat
+    # policy: downstream gathers index with THIS tensor (not the saved
+    # post-processed Hit.tri), so leaving it unnamed made the backward
+    # recompute RE-RUN the whole mesh kernel + the [2N,9] validate gather
+    # every iteration (rematted_computation custom-call, ~19 ms/iter =
+    # ~40% of the round-4 backward; tools/bwd_trace.py round-5)
+    name = jax.ad_checkpoint.checkpoint_name
     if cfg.mesh_accel == "brute":
         tm, tri = mesh_brute.mesh_intersect(scene.bf_feat, scene.bf_clusters,
                                             origin, direction, t_init,
@@ -478,10 +588,10 @@ def mesh_closest(cfg: SceneConfig, scene: SceneData, origin, direction,
                                             exclude=exclude_tri)
         tri = _validate_winner(scene.bf_tri_verts, tri, origin, direction,
                                t_init)
-        return tm, tri, scene.bf_tri_verts, scene.bf_tri_normals
+        return tm, name(tri, "hit"), scene.bf_tri_verts, scene.bf_tri_normals
     tm, tri, _, _ = bvh_traverse(scene, origin, direction, t_init,
                                  any_hit=any_hit, active=active)
-    return tm, tri, scene.tri_verts, scene.tri_normals
+    return tm, name(tri, "hit"), scene.tri_verts, scene.tri_normals
 
 
 def _validate_winner(tri_verts, tri, origin, direction, t_init):
@@ -526,11 +636,21 @@ def traversal_cost(cfg: SceneConfig, scene: SceneData, origin, direction):
 
 def _closest_analytic(cfg: SceneConfig, scene: SceneData, origin, direction,
                       active=None):
-    """Closest hit over the analytic primitive classes only.
+    """Closest hit over the analytic primitive classes only -- DETACHED.
 
-    Returns (t, mesh_id, normal); the mesh backend runs separately so the
+    Returns (t, mesh_id, normal), all detached; the caller reattaches
+    first-order-exact derivatives for the winning object only via
+    ``analytic_reattach`` (the same detached-selection + winner-reattach
+    pattern as the mesh backends).  Differentiating the [rays x objects]
+    broadcast intersects directly made the backward recompute + transpose
+    the whole primitive sweep every iteration -- measured as +1.39 s of
+    the 3.61 s fwd+bwd frame at 512^2 x 4 spp (tools/bwd_anatomy.py
+    round-5 geom group).  The mesh backend runs separately so the
     integrator can merge its (expensive) custom call across ray batches.
     """
+    origin = jax.lax.stop_gradient(origin)
+    direction = jax.lax.stop_gradient(direction)
+    scene = jax.lax.stop_gradient(scene)
     n = origin.shape[0]
     t = jnp.full((n,), RAY_INF, jnp.float32)
     mesh_id = jnp.full((n,), -1, jnp.int32)
@@ -564,8 +684,6 @@ def _closest_analytic(cfg: SceneConfig, scene: SceneData, origin, direction,
                                      scene.params[d0:d1],
                                      cfg.marching_steps, active=active)
         better = hit_s & (tsdf < t)
-        tsdf = sdf_reattach(origin, direction, tsdf, scene.position[d0:d1],
-                            scene.geom_type[d0:d1], scene.params[d0:d1], obj)
         t = jnp.where(better, tsdf, t)
         mesh_id = jnp.where(better, d0 + obj, mesh_id)
         pos = origin + direction * t[..., None]
@@ -596,13 +714,21 @@ def _closest_analytic(cfg: SceneConfig, scene: SceneData, origin, direction,
         nq = scene.quad_normal[q0 + jnp.maximum(arg, 0)]
         normal = jnp.where(better[..., None], nq, normal)
 
-    return t, mesh_id, normal
+    # name the detached winners for the bounce scan's remat policy: the
+    # backward then reads them as saved residuals instead of re-running
+    # the whole primitive sweep (incl. the SDF while_loop) per iteration
+    name = jax.ad_checkpoint.checkpoint_name
+    return name(t, "hit"), name(mesh_id, "hit"), name(normal, "hit")
 
 
 def _finish_hit(cfg: SceneConfig, scene: SceneData, origin, direction,
                 t, mesh_id, normal, tri=None, tvs=None, tns=None) -> Hit:
     """Fold the mesh backend's result into the analytic closest hit and
     resolve the shading normal (intersect.cl:222-233)."""
+    # analytic winners: detached selection, winner-only reattach (bitwise
+    # primal; first-order-exact gradients)
+    t, normal = analytic_reattach(cfg, scene, origin, direction, t,
+                                  mesh_id, normal)
     if tri is not None:
         hit_m = tri >= 0
         if not cfg.mesh_vertex_grads:

@@ -147,3 +147,65 @@ def power_heuristic(pdf0: jnp.ndarray, pdf1: jnp.ndarray) -> jnp.ndarray:
     denom = p0 + pdf1 * pdf1
     tiny = denom < 1e-12
     return jnp.where(tiny, 0.0, p0 / jnp.where(tiny, 1.0, denom))
+
+
+# ---------------------------------------------------------------------------
+# Table-row fetch with an MXU-transpose VJP (backward-anatomy attack, r5)
+# ---------------------------------------------------------------------------
+
+SELECT_MAX_ROWS = 24
+
+
+def select_rows(arr, idx):
+    """``arr[idx]`` ([K,...] by [N]) as a compare/select chain.
+
+    Per-ray gathers cost ~10-50x an elementwise op on TPU; for the small
+    object tables of typical scenes a K-way select chain of broadcast rows
+    is far cheaper (measured 3x whole-frame on cornell, PERF.md round-1)."""
+    out = jnp.broadcast_to(arr[0],
+                           idx.shape + arr.shape[1:]).astype(arr.dtype)
+    for i in range(1, arr.shape[0]):
+        m = idx == i
+        if arr.ndim > 1:
+            m = m[..., None]
+        out = jnp.where(m, arr[i], out)
+    return out
+
+
+def _fetch_rows_impl(table, idx):
+    return (select_rows(table, idx)
+            if table.shape[0] <= SELECT_MAX_ROWS else table[idx])
+
+
+@jax.custom_vjp
+def fetch_float_rows(table, idx):
+    """``table[idx]`` ([K,F] by [N] -> [N,F]) with an MXU transpose.
+
+    Forward: the usual select chain (or gather for big tables).  Backward:
+    the VJP of a row-fetch is a segment-sum of the [N,F] cotangent into
+    the [K,F] table -- autodiff of the select chain emits K masked
+    [N,F]->[F] reductions PER FIELD PER ITERATION, which is the measured
+    round-4/5 backward bottleneck (tools/bwd_anatomy.py: parameter-
+    gradient accumulation dominates the 3.6x AD multiplier).  Here it is
+    ONE one-hot [K,N]x[N,F] matmul on the MXU instead.  HIGHEST precision
+    keeps the accumulation f32-exact (the one-hot operand is exactly
+    representable; single-pass bf16 would quantize the cotangents -- the
+    round-4 mesh-kernel lesson, PERF.md)."""
+    return _fetch_rows_impl(table, idx)
+
+
+def _fetch_float_rows_fwd(table, idx):
+    return _fetch_rows_impl(table, idx), (idx, table.shape[0])
+
+
+def _fetch_float_rows_bwd(res, g):
+    import numpy as np
+    idx, k = res
+    onehot = (idx[:, None] == jnp.arange(k, dtype=idx.dtype)[None, :])
+    d_table = jax.lax.dot_general(
+        onehot.astype(g.dtype), g, (((0,), (0,)), ((), ())),
+        precision=jax.lax.Precision.HIGHEST)  # [K,F]
+    return d_table, np.zeros(idx.shape, dtype=jax.dtypes.float0)
+
+
+fetch_float_rows.defvjp(_fetch_float_rows_fwd, _fetch_float_rows_bwd)

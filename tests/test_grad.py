@@ -163,6 +163,49 @@ def test_mesh_scene_grads_finite_and_match_fd():
     assert np.isfinite(np.asarray(grad)).all()
 
 
+def test_mesh_vertex_grads_opt_in():
+    """SceneConfig.mesh_vertex_grads=True reattaches d(image)/d(vertex)
+    through the [T,9] tables (off by default for backward cost, PERF.md
+    round-4).  Unit-level FD on tri_reattach pins the per-triangle
+    derivative; the whole-image gradient must be finite and nonzero."""
+    # unit: d(t)/d(vertex) of a single triangle, FD vs AD
+    o = jnp.array([[0.0, 0.0, -2.0]])
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    base = jnp.array([[[-1.0, -1.0, 0.5], [1.5, -1.0, 0.5],
+                       [0.0, 1.5, 0.5]]])
+    tri = jnp.array([0], jnp.int32)
+
+    def t_of(verts):
+        return intersect.tri_reattach(verts, tri, o, d)[0][0]
+
+    g = np.asarray(jax.grad(t_of)(base))
+    eps = 1e-3
+    for (i, j) in [(0, 2), (1, 2), (2, 0)]:
+        vp = base.at[0, i, j].add(eps)
+        vm = base.at[0, i, j].add(-eps)
+        fd = (float(t_of(vp)) - float(t_of(vm))) / (2 * eps)
+        assert abs(g[0, i, j] - fd) < 1e-3, (i, j, g[0, i, j], fd)
+
+    # whole image: opt-in vertex grads are finite and nonzero
+    mesh = make_icosphere(subdiv=1, radius=0.8, center=(0.0, 1.0, 0.0))
+    cfg, scene = build_scene(CORNELL, mesh_override=mesh)
+    cfg = dataclasses.replace(cfg, mesh_vertex_grads=True)
+    cam = default_camera(W, H).pytree()
+    gv = jax.jit(jax.grad(lambda v: _mean_radiance(
+        cfg, dataclasses.replace(scene, bf_tri_verts=v), cam)))(
+            scene.bf_tri_verts)
+    gv = np.asarray(gv)
+    assert np.isfinite(gv).all()
+    assert np.abs(gv).max() > 1e-6
+
+    # default config really detaches the tables (documented zeros)
+    cfg0, scene0 = build_scene(CORNELL, mesh_override=mesh)
+    g0 = jax.jit(jax.grad(lambda v: _mean_radiance(
+        cfg0, dataclasses.replace(scene0, bf_tri_verts=v), cam)))(
+            scene0.bf_tri_verts)
+    assert np.abs(np.asarray(g0)).max() == 0.0
+
+
 def test_sdf_reattach_matches_analytic():
     """Implicit-diff hit distance of an SDF sphere == analytic derivative."""
     centers = jnp.array([[0.0, 0.0, 0.0]])
