@@ -270,7 +270,12 @@ def shade_step(cfg: SceneConfig, scene: SceneData, state: PathState,
         # coverage semantics kept instead, documented deviation)
         primary = (state.n_total == 0) & (state.n_scatter == 0)
         alpha = jnp.where(missed & primary, 0.0, alpha)
-    else:
+    elif cfg.has_env_map:
+        # statically skipped when no env map exists: the 1x1 black
+        # placeholder contributed exactly zero radiance while its bilinear
+        # lookup's TRANSPOSE cost four full-lane [N,3]->[1,1,3] scatters
+        # per iteration (~9 ms/iter = 14% of the whole fwd+bwd frame at
+        # 512^2, tools/bwd_trace.py round-5)
         env = envmap.radiance(scene.env_map, state.direction)
         w_env = 1.0
         if cfg.env_nee:
