@@ -131,19 +131,27 @@ def _measure_fwd_bwd(cfg, scene, cam, width, spp, method="regen_scan"):
             regen_iters=regen_iters)
         return jnp.mean(img), jnp.asarray(spp, jnp.uint32)
 
-    vg = jax.jit(jax.value_and_grad(loss, has_aux=True))
+    @jax.jit
+    def vg(args):
+        (val, completed), grad = jax.value_and_grad(
+            loss, has_aux=True)(args)
+        # reduce the grad pytree to ONE scalar on device: transferring
+        # each of the ~40 grad leaves separately costs a tunnel round
+        # trip apiece (~20 ms each -- measured as ~0.8 s of phantom
+        # "backward" time in round-4 numbers)
+        gsum = sum(jnp.sum(g) for g in jax.tree_util.tree_leaves(grad))
+        return val, completed, gsum
 
     def run():
-        (val, completed), grad = vg((f_leaves, cam))
+        val, completed, gsum = jax.device_get(vg((f_leaves, cam)))
         # a calibrated-but-under-budgeted iteration count would silently
         # time partial radiance as a full frame: refuse to report it
         if int(completed) != spp:
             raise RuntimeError(
                 f"regen_scan under-budgeted: completed {int(completed)} "
                 f"of {spp} spp at regen_iters={regen_iters}")
-        # completion barrier through a host transfer of a reduced scalar
-        flat = jax.tree_util.tree_leaves(grad)
-        return float(val) + float(sum(np.asarray(g).sum() for g in flat))
+        # completion barrier through the host transfer of the scalars
+        return float(val) + float(gsum)
 
     run()
     best = float("inf")

@@ -46,7 +46,13 @@ INV_PI = 1.0 / np.pi
 # ---------------------------------------------------------------------------
 
 class OracleScene:
-    def __init__(self, path: str):
+    def __init__(self, path: str, mesh_verts=None, mesh_normals=None,
+                 mesh_mat=None):
+        """``mesh_verts``/``mesh_normals`` ([T,3,3] numpy, degenerate
+        padding rows allowed) add a triangle mesh with material
+        ``mesh_mat`` (a JSON-style material dict) -- the geometry DATA may
+        come from anywhere (it is input, not estimator code); the
+        intersection/shading math here stays an independent port."""
         with open(path) as f:
             doc = json.load(f)
         s = doc.get("settings", {})
@@ -108,8 +114,26 @@ class OracleScene:
                 cond_k=np.array(m.get("k", (4.2223, 2.4628, 1.8063)),
                                 np.float64)[:3],
             )
+        # optional triangle mesh (one material slot, like the reference's
+        # separate obj material buffer, src/main.cpp:404-405)
+        self.has_mesh = mesh_verts is not None
+        if self.has_mesh:
+            self.tri_v = np.asarray(mesh_verts, np.float64)
+            self.tri_n = np.asarray(mesh_normals, np.float64)
+            e1 = self.tri_v[:, 1] - self.tri_v[:, 0]
+            e2 = self.tri_v[:, 2] - self.tri_v[:, 0]
+            self.tri_live = np.linalg.norm(np.cross(e1, e2), axis=-1) > 1e-20
+            self.mesh_col = np.array(mesh_mat.get("color", [1.0, 1.0, 1.0]),
+                                     np.float64)
+        else:
+            self.tri_v = np.zeros((0, 3, 3))
+            self.tri_n = np.zeros((0, 3, 3))
+            self.tri_live = np.zeros((0,), bool)
+            self.mesh_col = np.zeros(3)
+
         self.mats = ([mat_row(q["material"]) for q in sph]
-                     + [mat_row(q["material"]) for q in quads])
+                     + [mat_row(q["material"]) for q in quads]
+                     + ([mat_row(mesh_mat)] if self.has_mesh else []))
         self.m_t = np.array([m["t"] for m in self.mats], np.int32)
         self.m_rough = np.array([m["rough"] for m in self.mats])
         self.m_dist = np.array([m["dist"] for m in self.mats], np.int32)
@@ -155,13 +179,33 @@ def _quad_t(o, d, base, e0, e1, n):
     return np.where(ok, rt, np.inf)
 
 
+def _tri_all(o, d, tri_v, live):
+    """Classic Moller-Trumbore, every ray vs every triangle -> (t[N,T],
+    u[N,T], v[N,T]); u weights vertex 1, v weights vertex 2."""
+    p0, p1, p2 = tri_v[:, 0], tri_v[:, 1], tri_v[:, 2]
+    e1 = p1 - p0  # [T,3]
+    e2 = p2 - p0
+    pv = np.cross(d[:, None, :], e2[None])  # [N,T,3]
+    det = np.sum(e1[None] * pv, axis=-1)
+    inv = 1.0 / np.where(np.abs(det) < 1e-14,
+                         np.copysign(1e-14, det), det)
+    tv = o[:, None, :] - p0[None]
+    u = np.sum(tv * pv, axis=-1) * inv
+    qv = np.cross(tv, e1[None])
+    v = np.sum(d[:, None, :] * qv, axis=-1) * inv
+    t = np.sum(e2[None] * qv, axis=-1) * inv
+    ok = ((u >= 0.0) & (v >= 0.0) & (u + v <= 1.0) & (t > EPS)
+          & live[None])
+    return np.where(ok, t, np.inf), u, v
+
+
 def intersect(sc: OracleScene, o, d):
     """Closest hit -> (t, kind, idx, normal, color, is_light, mid).
 
-    kind: 0 sphere, 1 quad, -1 miss; mid is the material-table row.
-    Normal resolved against the ray EXCEPT for purely-transmissive
-    dielectrics (intersect.cl:222-233) whose outward normal encodes
-    inside/outside through wi.z's sign.
+    kind: 0 sphere, 1 quad, 2 mesh triangle, -1 miss; mid is the
+    material-table row.  Normal resolved against the ray EXCEPT for
+    purely-transmissive dielectrics (intersect.cl:222-233) whose outward
+    normal encodes inside/outside through wi.z's sign.
     """
     n = o.shape[0]
     best_t = np.full(n, RAY_INF)
@@ -179,6 +223,18 @@ def intersect(sc: OracleScene, o, d):
         best_t = np.where(m, t, best_t)
         kind = np.where(m, 1, kind)
         idx = np.where(m, i, idx)
+    tri_u = tri_vv = None
+    if sc.has_mesh:
+        tt, uu, vv = _tri_all(o, d, sc.tri_v, sc.tri_live)
+        tmin = tt.min(axis=1)
+        targ = tt.argmin(axis=1).astype(np.int32)
+        m = tmin < best_t
+        best_t = np.where(m, tmin, best_t)
+        kind = np.where(m, 2, kind)
+        idx = np.where(m, targ, idx)
+        rows = np.arange(n)
+        tri_u = uu[rows, targ]
+        tri_vv = vv[rows, targ]
 
     pos = o + best_t[:, None] * d
     normal = np.zeros((n, 3))
@@ -198,13 +254,23 @@ def intersect(sc: OracleScene, o, d):
         color[m] = sc.q_col[i]
         is_light[m] = sc.q_light[i]
         mid[m] = nsph + i
+    if sc.has_mesh:
+        m = kind == 2
+        tn = sc.tri_n[idx[m]]  # [M,3,3]
+        w0 = (1.0 - tri_u[m] - tri_vv[m])[:, None]
+        sm = (w0 * tn[:, 0] + tri_u[m][:, None] * tn[:, 1]
+              + tri_vv[m][:, None] * tn[:, 2])
+        sm /= np.maximum(np.linalg.norm(sm, axis=-1, keepdims=True), 1e-20)
+        normal[m] = sm
+        color[m] = sc.mesh_col
+        mid[m] = nsph + len(sc.q_area)
     is_diel = (sc.m_t[mid] == 3) & (kind >= 0)
     back = np.sum(normal * d, axis=-1) > 0.0
     normal = np.where((back & ~is_diel)[:, None], -normal, normal)
     return best_t, kind, idx, normal, color, is_light, mid
 
 
-def occluded(sc: OracleScene, o, d, dist):
+def occluded(sc: OracleScene, o, d, dist, skip_mesh=False):
     limit = dist * (1.0 - 1e-3)
     blocked = np.zeros(o.shape[0], bool)
     for i in range(len(sc.sph_r)):
@@ -212,6 +278,9 @@ def occluded(sc: OracleScene, o, d, dist):
     for i in range(len(sc.q_area)):
         blocked |= _quad_t(o, d, sc.q_base[i], sc.q_e0[i], sc.q_e1[i],
                            sc.q_n[i]) < limit
+    if sc.has_mesh and not skip_mesh:
+        tt, _, _ = _tri_all(o, d, sc.tri_v, sc.tri_live)
+        blocked |= tt.min(axis=1) < limit
     return blocked
 
 
@@ -459,7 +528,8 @@ def camera_rays(rng, width, height, aperture=0.01, focal=4.0):
 def render(scene_path: str, width: int, height: int, spp: int,
            seed: int = 0, light_sampling: bool = True,
            final_vertex_mis: bool = True, volume_light_sampling: bool = True,
-           sigma_a=None, sigma_s=None, planted_error: str | None = None):
+           sigma_a=None, sigma_s=None, planted_error: str | None = None,
+           mesh_verts=None, mesh_normals=None, mesh_mat=None):
     """Mean image [H,W,3] under the reference estimator.
 
     ``final_vertex_mis=False`` drops the bsdfSample light contribution at
@@ -479,9 +549,14 @@ def render(scene_path: str, width: int, height: int, spp: int,
       * "scatter_sigma_s": drops the sigma_s factor on scatter events
         (homogeneous.cl:45);
       * "nee_trans": drops the exp(-sigmaT*dist) shadow-segment
-        transmittance on volumetric NEE (base.cl:216).
+        transmittance on volumetric NEE (base.cl:216);
+      * "mesh_occlusion": surface-NEE shadow rays ignore the mesh
+        (intersect.cl:94-152 would skip the BVH);
+      * "surf_nee_trans": drops the medium transmittance on surface-NEE
+        shadow segments (base.cl:124-128).
     """
-    sc = OracleScene(scene_path)
+    sc = OracleScene(scene_path, mesh_verts=mesh_verts,
+                     mesh_normals=mesh_normals, mesh_mat=mesh_mat)
     if sigma_a is not None:
         sc.sigma_a = np.asarray(sigma_a, np.float64)
     if sigma_s is not None:
@@ -634,12 +709,13 @@ def render(scene_path: str, width: int, height: int, spp: int,
                 f, b_pdf_l = bsdf_eval_pdf(lw)
                 cand = (shade & nee_ok & lvalid
                         & (np.sum(f * f, axis=-1) > 0.0))
-                vis = ~occluded(sc, pos, lw, ldist)
+                vis = ~occluded(sc, pos, lw, ldist,
+                                skip_mesh=planted_error == "mesh_occlusion")
                 takem = cand & vis
                 wmis = power_heuristic(lpdf, b_pdf_l)
                 contrib = (light_color(sc)[None] * f
                            * (wmis / np.maximum(lpdf, 1e-30))[:, None])
-                if medium_live:
+                if medium_live and planted_error != "surf_nee_trans":
                     # shadow-segment transmittance (base.cl:124-128)
                     contrib = contrib * np.exp(-sc.sigma_t[None]
                                                * ldist[:, None])

@@ -196,3 +196,51 @@ def test_smooth_dielectric_matches_reference_port():
         f"dielectric image-mean drift vs reference port: {rel:.4f}")
     assert np.abs(img - ref).max() < 0.15, (
         f"dielectric per-pixel drift {np.abs(img - ref).max():.4f}")
+
+
+def test_medium_times_mesh_matches_reference_port():
+    """Global medium WRAPPING a triangle mesh (VERDICT r4 next #9): pins
+    the interaction terms no single-family row covers -- transmittance
+    across mesh shadow segments (base.cl:124-128 with the BVH in the
+    shadow query), mesh occlusion of volumetric NEE, and the
+    scattered-lane self-exclusion exemption (a lane that scatters in the
+    medium continues from INSIDE the volume where its previous triangle
+    is legitimately hittable again).  The mesh is shared DATA; the
+    oracle's triangle intersector/shading is an independent numpy port.
+
+    Planted-error sensitivity (measured at 8x8 x 768 spp, seed 11/23):
+    surface-NEE shadow rays ignoring the mesh shifts the mean +20.5%,
+    dropping the medium transmittance on surface-NEE segments +22.7%;
+    true drift at this sample count is 0.91% (bound 2%).
+    """
+    import dataclasses as dc
+    import json as _json
+
+    from photorealistic_rendering_using_opencl_tpu.models import pathtracer
+    from photorealistic_rendering_using_opencl_tpu.ops.camera_rays import (
+        default_camera,
+    )
+    from photorealistic_rendering_using_opencl_tpu.scene.loader import build_scene
+    from photorealistic_rendering_using_opencl_tpu.scene.obj import make_icosphere
+
+    w = 8
+    spp = 768
+    mesh_mat = {"color": [0.75, 0.75, 0.75], "type": 1}
+    mesh = make_icosphere(subdiv=1, radius=0.9, center=(0.0, 1.2, 0.0))
+
+    ref = oracle.render(MEDIA_SCENE, w, w, spp, seed=11,
+                        mesh_verts=mesh[0], mesh_normals=mesh[1],
+                        mesh_mat=mesh_mat)
+
+    doc = _json.load(open(MEDIA_SCENE))
+    doc["scene"]["obj"] = {"material": mesh_mat}
+    cfg, scene = build_scene(doc, mesh_override=mesh)
+    assert cfg.has_mesh and cfg.has_global_medium
+    cam = default_camera(w, w).pytree()
+    img = np.asarray(pathtracer.render(cfg, scene, cam, w, w, spp,
+                                       seed=23)[0])
+
+    rel = abs(img.mean() - ref.mean()) / ref.mean()
+    assert rel < 0.02, f"medium x mesh mean drift: {rel:.4f}"
+    assert np.abs(img - ref).max() < 0.08, (
+        f"medium x mesh per-pixel drift {np.abs(img - ref).max():.4f}")

@@ -91,7 +91,14 @@ def run_one(width, spp, variant):
             return jnp.mean(acc)
         arg = [l for l, f in zip(leaves, is_f) if f]
 
-    vg = jax.jit(jax.value_and_grad(loss))
+    @jax.jit
+    def vg(a):
+        val, grad = jax.value_and_grad(loss)(a)
+        # single-scalar device reduction: per-leaf grad transfers cost a
+        # tunnel round trip apiece (~0.8 s of phantom backward time)
+        return val + sum(jnp.sum(g)
+                         for g in jax.tree_util.tree_leaves(grad))
+
     t0 = time.perf_counter()
     compiled = vg.lower(arg).compile()
     compile_s = time.perf_counter() - t0
@@ -99,9 +106,7 @@ def run_one(width, spp, variant):
     temp = getattr(mem, "temp_size_in_bytes", 0) if mem else 0
 
     def run():
-        val, grad = compiled(arg)
-        flat = jax.tree_util.tree_leaves(grad)
-        return float(val) + float(sum(np.asarray(g).sum() for g in flat))
+        return float(compiled(arg))
 
     run()
     best = float("inf")

@@ -50,12 +50,15 @@ def main():
     print(f"iters={regen_iters}")
 
     if mode == "fwd":
-        def run_fn(scene):
+        leaves, treedef = jax.tree_util.tree_flatten(scene)
+
+        def run_fn(leaves):
+            sc = jax.tree_util.tree_unflatten(treedef, leaves)
             acc, _, _ = pathtracer.trace_regen_scan(
-                cfg, scene, cam, width, width, spp, px, py, 3, regen_iters)
+                cfg, sc, cam, width, width, spp, px, py, 3, regen_iters)
             return jnp.mean(acc)
-        compiled = jax.jit(run_fn).lower(scene).compile()
-        arg = scene
+        compiled = jax.jit(run_fn).lower(leaves).compile()
+        arg = leaves
 
         def run():
             return float(compiled(arg))
@@ -85,12 +88,16 @@ def main():
                 return jnp.mean(acc)
             arg = [getattr(scene, n) for n in names]
 
-        compiled = jax.jit(jax.value_and_grad(loss)).lower(arg).compile()
+        @jax.jit
+        def vg(a):
+            val, grad = jax.value_and_grad(loss)(a)
+            return val + sum(jnp.sum(g)
+                             for g in jax.tree_util.tree_leaves(grad))
+
+        compiled = vg.lower(arg).compile()
 
         def run():
-            val, grad = compiled(arg)
-            flat = jax.tree_util.tree_leaves(grad)
-            return float(val) + float(sum(np.asarray(g).sum() for g in flat))
+            return float(compiled(arg))
 
     run()
     t0 = time.perf_counter()
