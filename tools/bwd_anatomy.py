@@ -52,6 +52,13 @@ def run_one(width, spp, variant):
         integrator._sanitize_grad = lambda x: x
 
     cfg, scene = load_scene("scenes/cornell.json")
+    label = variant
+    if variant == "vgrads":
+        # opt-in vertex/normal-table gradients (SceneConfig.
+        # mesh_vertex_grads): measures the cost of d(image)/d(vertex)
+        import dataclasses as _dc
+        cfg = _dc.replace(cfg, mesh_vertex_grads=True)
+        variant = "all"
     cam = default_camera(width, width).pytree()
     regen_iters = pathtracer.calibrate_regen_iters(
         cfg, scene, cam, width, width, spp, seed=3)
@@ -114,7 +121,7 @@ def run_one(width, spp, variant):
         t0 = time.perf_counter()
         run()
         best = min(best, time.perf_counter() - t0)
-    print(f"RESULT variant={variant:7s} iters={regen_iters} "
+    print(f"RESULT variant={label:7s} iters={regen_iters} "
           f"chunk={integrator.SCAN_CHUNK} best={best:.3f}s "
           f"rate={width*width*spp/best:.0f}/s temp={temp/1e9:.2f}GB "
           f"compile={compile_s:.0f}s", flush=True)
