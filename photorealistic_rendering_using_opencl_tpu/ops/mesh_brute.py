@@ -53,7 +53,16 @@ import os as _os
 TILE = int(_os.environ.get("PRT_MESH_TILE", "512"))  # tris per cluster tile
 BLOCK = int(_os.environ.get("PRT_MESH_BLOCK", "512"))  # rays per instance
 FEAT = 16  # ray feature width (10 used, padded for sublane tiling)
-BRUTE_MAX_TRIS = 32768  # above this the VMEM-resident table stops paying
+# largest mesh whose full coefficient table stays VMEM-resident for the
+# whole dispatch; bigger meshes switch to the HBM-streamed variant where
+# pallas pipelines CHUNK_TRIS-triangle table chunks through VMEM (grid
+# over ray-blocks x chunks, double-buffered by the pallas pipeline) --
+# the per-dispatch floor becomes nblocks x table-bytes of HBM traffic
+BRUTE_MAX_TRIS = 32768
+CHUNK_TRIS = int(_os.environ.get("PRT_MESH_CHUNK_TRIS", "4096"))
+# beyond this even streaming stops paying vs the skip-link walk (the
+# traffic floor grows linearly in mesh size; decision in PERF.md r5)
+BRUTE_STREAM_MAX_TRIS = 262144
 
 # MXU precision for the intersection matmul.  DEFAULT single-pass bf16
 # quantizes the [o, d, d x o] features AND the coefficient table to 8
@@ -262,7 +271,7 @@ def _intersect_xla(feat, clusters, origin, direction, t_init, active,
 # ---------------------------------------------------------------------------
 
 def _make_kernel(nt: int, c: int, block: int, split: bool,
-                 split_terms=()):
+                 split_terms=(), tpc: int = None, nchunks: int = 1):
     """Pure matmul kernel; all irregularity analysis happens outside.
 
     Cluster relevance (which matmul tiles some ray in the block could
@@ -287,7 +296,17 @@ def _make_kernel(nt: int, c: int, block: int, split: bool,
     dispatch (round-3 roadmap #1).  An any-hit lane parks at -inf on its
     first occluder and never updates again (traverseShadows early-out,
     bvh.cl:43-114).
+
+    HBM-STREAMED MODE (``nchunks > 1``, meshes past the VMEM-resident
+    cap): the grid becomes (ray blocks, table chunks) with chunks
+    INNERMOST, so each output block is revisited across consecutive
+    steps (legal pallas accumulation) while the pallas pipeline double-
+    buffers the next table chunk in from HBM.  The kernel sees ``tpc``
+    tiles of the table at a time; outputs initialize at chunk 0 and
+    finalize (t_init fallback for misses) at the last chunk.
     """
+    tpc = nt if tpc is None else tpc
+
     def impl(rel_ref, p_ref, a_ref, t_ref, i_ref):
         p = p_ref[:]  # [FEAT, block] f32, or [3*FEAT, block] bf16 stacked
         if split:
@@ -320,22 +339,32 @@ def _make_kernel(nt: int, c: int, block: int, split: bool,
             # pass); bf16 x bf16 -> f32 is the MXU's native fast path.
             pc = p.astype(jnp.bfloat16) if a_ref.dtype == jnp.bfloat16 else p
 
-        # inactive lanes park at -inf so they can never record a hit even
-        # when their block runs a tile for other lanes
-        t_ref[:] = jnp.where(act, tinit, -jnp.inf)
-        i_ref[:] = jnp.full((1, block), -1, jnp.int32)
+        pid = pl.program_id(0)
+        pid_j = pl.program_id(1) if nchunks > 1 else 0
+        nwords = -(-nt // 32)
+
+        def init():
+            # inactive lanes park at -inf so they can never record a hit
+            # even when their block runs a tile for other lanes
+            t_ref[:] = jnp.where(act, tinit, -jnp.inf)
+            i_ref[:] = jnp.full((1, block), -1, jnp.int32)
+
+        if nchunks > 1:
+            pl.when(pid_j == 0)(init)
+        else:
+            init()
 
         row = jax.lax.broadcasted_iota(jnp.int32, (c, block), 0)
         rowf = row.astype(jnp.float32)
-        pid = pl.program_id(0)
-        nwords = -(-nt // 32)
-        for j in range(nt):
+        for j in range(tpc):
             # rel is FLAT [grid*nwords] in SMEM: a [grid, nwords] layout
             # lane-pads each row to 128 words (1 MB of 1 MB smem at 2k
-            # blocks); the flat form stays at grid*nwords*4 bytes
-            bit = (rel_ref[pid * nwords + j // 32] >> (j % 32)) & 1
+            # blocks); the flat form stays at grid*nwords*4 bytes.
+            # jg is the GLOBAL tile id (chunk-offset in streamed mode).
+            jg = pid_j * tpc + j
+            bit = (rel_ref[pid * nwords + jg // 32] >> (jg % 32)) & 1
             @pl.when(bit != 0)
-            def _(j=j):
+            def _(j=j, jg=jg):
                 # [4C, block] = A_tile[16, 4C]^T . P[16, block]; the
                 # control rows (10-12) hit all-zero coefficient rows
                 sl = slice(j * 4 * c, (j + 1) * 4 * c)
@@ -355,19 +384,28 @@ def _make_kernel(nt: int, c: int, block: int, split: bool,
                 td = tden * den
                 hit = (m >= 0.0) & (td > EPS * den2)
                 # per-lane self-exclusion (see Hit.tri in ops/intersect.py)
-                hit = hit & (rowf + jnp.float32(j * c) != excl)
+                basef = jax.lax.convert_element_type(jnp.asarray(jg * c),
+                                                     jnp.float32)
+                hit = hit & (rowf + basef != excl)
                 score = jnp.where(hit, td / den2, jnp.inf)
                 tmin = jnp.min(score, axis=0, keepdims=True)
                 targ = jnp.min(jnp.where(score <= tmin, row, c), axis=0,
-                               keepdims=True) + j * c
+                               keepdims=True) + jg * c
                 cur_t = t_ref[:]
                 better = tmin < cur_t
                 t_ref[:] = jnp.where(better,
                                      jnp.where(anyh, -jnp.inf, tmin), cur_t)
                 i_ref[:] = jnp.where(better, targ, i_ref[:])
 
-        got = i_ref[:] >= 0
-        t_ref[:] = jnp.where(got & jnp.isfinite(t_ref[:]), t_ref[:], tinit)
+        def finalize():
+            got = i_ref[:] >= 0
+            t_ref[:] = jnp.where(got & jnp.isfinite(t_ref[:]), t_ref[:],
+                                 tinit)
+
+        if nchunks > 1:
+            pl.when(pid_j == nchunks - 1)(finalize)
+        else:
+            finalize()
 
     return impl
 
@@ -426,6 +464,25 @@ def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
                       any_hit=False, exclude=None, interpret=False):
     n = origin.shape[0]
     c = TILE
+    tpad = feat.shape[1] // 4
+    # HBM-streamed mode for meshes past the VMEM-resident cap: pad the
+    # table to a whole number of CHUNK_TRIS-triangle chunks (zero
+    # coefficients can never hit; empty clusters never set a rel bit)
+    stream = tpad > BRUTE_MAX_TRIS
+    if stream:
+        ccols = 4 * CHUNK_TRIS
+        colpad = (-feat.shape[1]) % ccols
+        if colpad:
+            feat = jnp.pad(feat, ((0, 0), (0, colpad)))
+            ntile_pad = colpad // (4 * c)
+            empty = jnp.tile(jnp.asarray(
+                [[3e38, 3e38, 3e38, -3e38, -3e38, -3e38, 0, 0]],
+                jnp.float32), (ntile_pad, 1))
+            clusters = jnp.concatenate([clusters, empty], axis=0)
+        nchunks = feat.shape[1] // ccols
+        tpc = CHUNK_TRIS // c
+    else:
+        nchunks, tpc = 1, None
     nt = feat.shape[1] // (4 * c)
     pad = (-n) % BLOCK
     npad = n + pad
@@ -471,30 +528,54 @@ def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
         p = jnp.concatenate([pp[j] for _, j in split_terms], axis=0)
         feat = jnp.concatenate([ap[i] for i, _ in split_terms], axis=0)
     operands = (rel, p, feat)
-    in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
-                pl.BlockSpec((kfeat, BLOCK), lambda i: (0, i),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((kfeat, feat.shape[1]), lambda i: (0, 0),
-                             memory_space=pltpu.VMEM)]
     mm_passes = len(split_terms) if split else 1
+    if stream:
+        # 2-D grid, chunks INNERMOST: the same output block is revisited
+        # across consecutive steps (accumulation) while pallas double-
+        # buffers the next table chunk from HBM.  Traffic floor:
+        # nblocks x table bytes per dispatch.
+        grid_spec = (grid, nchunks)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((kfeat, BLOCK), lambda i, j: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((kfeat, ccols), lambda i, j: (0, j),
+                                 memory_space=pltpu.VMEM)]
+        out_specs = (
+            pl.BlockSpec((1, BLOCK), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK), lambda i, j: (0, i),
+                         memory_space=pltpu.VMEM),
+        )
+        bytes_est = grid * feat.shape[0] * feat.shape[1] * feat.dtype.itemsize \
+            + npad * 8 * 4
+    else:
+        grid_spec = (grid,)
+        in_specs = [pl.BlockSpec(memory_space=pltpu.SMEM),
+                    pl.BlockSpec((kfeat, BLOCK), lambda i: (0, i),
+                                 memory_space=pltpu.VMEM),
+                    pl.BlockSpec((kfeat, feat.shape[1]), lambda i: (0, 0),
+                                 memory_space=pltpu.VMEM)]
+        out_specs = (
+            pl.BlockSpec((1, BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, BLOCK), lambda i: (0, i),
+                         memory_space=pltpu.VMEM),
+        )
+        bytes_est = npad * 8 * 4 + feat.size * feat.dtype.itemsize
 
     out_t, out_i = pl.pallas_call(
-        _make_kernel(nt, c, BLOCK, split, split_terms),
-        grid=(grid,),
+        _make_kernel(nt, c, BLOCK, split, split_terms,
+                     tpc=tpc, nchunks=nchunks),
+        grid=grid_spec,
         in_specs=in_specs,
-        out_specs=(
-            pl.BlockSpec((1, BLOCK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, BLOCK), lambda i: (0, i),
-                         memory_space=pltpu.VMEM),
-        ),
+        out_specs=out_specs,
         out_shape=(
             jax.ShapeDtypeStruct((1, npad), jnp.float32),
             jax.ShapeDtypeStruct((1, npad), jnp.int32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * npad * FEAT * 4 * feat.shape[1] * mm_passes,
-            bytes_accessed=npad * 8 * 4 + feat.size * 4,
+            bytes_accessed=int(bytes_est),
             transcendentals=0,
         ),
         interpret=interpret,

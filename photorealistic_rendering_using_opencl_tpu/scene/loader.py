@@ -41,8 +41,11 @@ def _mesh_table_dtype():
 
 
 def _pick_mesh_accel(n_tris: int) -> str:
-    """Brute-force MXU testing wins while the coefficient table fits VMEM;
-    bigger meshes fall back to the BVH walk.  On CPU (tests, local preview)
+    """Brute-force MXU testing wins while the coefficient table fits VMEM
+    (<= BRUTE_MAX_TRIS) and keeps winning via the HBM-streamed chunked
+    kernel up to BRUTE_STREAM_MAX_TRIS (measured 4.1x the skip-link walk
+    at 82k tris, PERF.md round-5); only past that does the walk's
+    sub-linear traffic growth win back.  On CPU (tests, local preview)
     exhaustive testing has no MXU to lean on, so the crossover is much
     earlier.  PRT_MESH_ACCEL overrides."""
     forced = os.environ.get("PRT_MESH_ACCEL", "")
@@ -51,10 +54,7 @@ def _pick_mesh_accel(n_tris: int) -> str:
     import jax
     if jax.devices()[0].platform != "tpu":
         return "brute" if n_tris <= 2048 else "bvh"
-    limit = mesh_brute.BRUTE_MAX_TRIS
-    if _mesh_table_dtype() == jnp.bfloat16:
-        limit *= 2  # half the bytes/triangle -> twice the VMEM cap
-    return "brute" if n_tris <= limit else "bvh"
+    return "brute" if n_tris <= mesh_brute.BRUTE_STREAM_MAX_TRIS else "bvh"
 
 _DEFAULT_MODEL_DIRS = (
     "resources/models",

@@ -129,3 +129,33 @@ def test_render_backends_identical(rng):
     cfg_v = dataclasses.replace(cfg, mesh_accel="bvh")
     img_v, _ = pathtracer.render(cfg_v, scene, cam, 32, 32, 1, seed=3)
     np.testing.assert_array_equal(np.asarray(img_b), np.asarray(img_v))
+
+
+def test_streamed_chunked_kernel_matches_xla(mesh_setup, rng, monkeypatch):
+    """HBM-streamed mode (meshes past the VMEM-resident cap): force the
+    chunked 2-D-grid path at test scale by shrinking the caps, and pin it
+    against the exact XLA reference -- winners, any-hit occlusion,
+    padding lanes, and mixed batches all covered."""
+    scene, bp = mesh_setup
+    monkeypatch.setattr(mesh_brute, "BRUTE_MAX_TRIS", mesh_brute.TILE)
+    monkeypatch.setattr(mesh_brute, "CHUNK_TRIS", mesh_brute.TILE)
+    feat, cl = jnp.asarray(bp.feat), jnp.asarray(bp.clusters)
+    assert feat.shape[1] // 4 > mesh_brute.BRUTE_MAX_TRIS  # streams
+
+    n = 600  # non-multiple of BLOCK exercises ray padding
+    o, d = _rays(rng, n)
+    tinit = jnp.asarray(rng.uniform(0.1, 8.0, n).astype(np.float32))
+    anyh = jnp.asarray(rng.random(n) < 0.5)
+    act = jnp.asarray(rng.random(n) < 0.9)
+    t_x, tri_x = mesh_brute._intersect_xla(feat, cl, o, d, tinit, act)
+    t_p, tri_p = mesh_brute._intersect_pallas(feat, cl, o, d, tinit, act,
+                                              any_hit=anyh, interpret=True)
+    anyh_np, act_np = np.asarray(anyh), np.asarray(act)
+    cl_m = act_np & ~anyh_np
+    sh_m = act_np & anyh_np
+    assert (np.asarray(tri_p)[cl_m] == np.asarray(tri_x)[cl_m]).all()
+    assert ((np.asarray(tri_p)[sh_m] >= 0)
+            == (np.asarray(tri_x)[sh_m] >= 0)).all()
+    assert (np.asarray(tri_p)[~act_np] == -1).all()
+    np.testing.assert_allclose(np.asarray(t_p)[cl_m],
+                               np.asarray(t_x)[cl_m], rtol=1e-3, atol=1e-5)

@@ -60,23 +60,23 @@ def main():
 
     def run_variant(label, px_s, py_s, iters):
         """Compile + time ONE tile-shaped fwd+bwd dispatch."""
-        def loss(args):
-            fl, cam_p, pxa, pya = args
+        def loss(diff_args, pxa, pya):
+            fl, cam_p = diff_args
             acc, _, completed = pathtracer.trace_regen_scan(
                 cfg, scene_of(fl), cam_p, width, width, spp, pxa, pya, 3,
                 iters)
             return jnp.sum(acc) / (3.0 * n), completed
 
         @jax.jit
-        def vg(a):
+        def vg(diff_args, pxa, pya):
             (val, completed), grad = jax.value_and_grad(
-                loss, has_aux=True)(a)
+                loss, argnums=0, has_aux=True)(diff_args, pxa, pya)
             gsum = sum(jnp.sum(g)
                        for g in jax.tree_util.tree_leaves(grad))
             return val + gsum, completed
 
         t0 = time.perf_counter()
-        compiled = vg.lower((f_leaves, cam, px_s, py_s)).compile()
+        compiled = vg.lower((f_leaves, cam), px_s, py_s).compile()
         compile_s = time.perf_counter() - t0
         mem = compiled.memory_analysis()
         temp = getattr(mem, "temp_size_in_bytes", 0) if mem else 0
@@ -86,7 +86,7 @@ def main():
 
     def timed(compiled, args_list):
         def run():
-            outs = [compiled(a) for a in args_list]  # async dispatches
+            outs = [compiled(*a) for a in args_list]  # async dispatches
             tot, comp = 0.0, None
             for val, completed in outs:
                 tot += float(val)
@@ -112,7 +112,8 @@ def main():
     # pixel-position-invariant at this scale; margin absorbs the rest
     try:
         ctile = run_variant(f"tiled x{n_tiles}", px_t[0], py_t[0], iters)
-        args = [(f_leaves, cam, px_t[i], py_t[i]) for i in range(n_tiles)]
+        args = [((f_leaves, cam), px_t[i], py_t[i])
+                for i in range(n_tiles)]
         t_tiled, comp = timed(ctile, args)
         rate = n * spp / t_tiled
         print(f"tiled x{n_tiles}: {t_tiled:.2f}s for {width}^2 x {spp}spp "
@@ -126,7 +127,7 @@ def main():
     # ---- direct full-frame variant ----
     try:
         cfull = run_variant("direct", px, py, iters)
-        t_full, comp = timed(cfull, [(f_leaves, cam, px, py)])
+        t_full, comp = timed(cfull, [((f_leaves, cam), px, py)])
         rate = n * spp / t_full
         print(f"direct: {t_full:.2f}s = {rate:.0f} samples/s "
               f"completed={comp}/{spp} "
