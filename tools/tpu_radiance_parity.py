@@ -25,6 +25,10 @@ def child(width, spp, platform, out_path):
     import jax
     if platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
+    if platform == "tpu_xla":
+        # exact-f32 tile-scan mesh path ON the TPU: separates pallas-
+        # kernel effects from TPU elementwise-arithmetic divergence
+        os.environ["PRT_MESH_FORCE_XLA"] = "1"
     import numpy as np
 
     from photorealistic_rendering_using_opencl_tpu.models import pathtracer
@@ -52,7 +56,7 @@ def main():
 
     import numpy as np
     paths = {}
-    for platform in ("tpu", "cpu"):
+    for platform in ("tpu", "tpu_xla", "cpu"):
         out = f"/tmp/radparity_{platform}.npy"
         env = dict(os.environ, PRT_PARITY_CHILD=platform,
                    PRT_PARITY_OUT=out)
@@ -63,16 +67,27 @@ def main():
         else:
             print(f"{platform} leg failed (rc={r.returncode})")
 
-    if len(paths) == 2:
-        t = np.load(paths["tpu"])
+    if "cpu" in paths:
         c = np.load(paths["cpu"])
+        for name in ("tpu", "tpu_xla"):
+            if name not in paths:
+                continue
+            t = np.load(paths[name])
+            rel = abs(t.mean() - c.mean()) / c.mean()
+            pix = np.abs(t - c).max()
+            frac = (np.abs(t - c).max(axis=-1) > 1e-3).mean()
+            print(f"{name} vs cpu: mean rel delta {rel*100:.3f}%  "
+                  f"max pixel delta {pix:.4f}  "
+                  f"pixels>1e-3: {frac*100:.2f}%")
+        if "tpu" in paths and "tpu_xla" in paths:
+            t, x = np.load(paths["tpu"]), np.load(paths["tpu_xla"])
+            rel = abs(t.mean() - x.mean()) / x.mean()
+            print(f"tpu(pallas) vs tpu(xla): mean rel delta {rel*100:.3f}%"
+                  " -- the kernel's own share")
+        t = np.load(paths["tpu"])
         rel = abs(t.mean() - c.mean()) / c.mean()
-        pix = np.abs(t - c).max()
-        frac = (np.abs(t - c).max(axis=-1) > 1e-3).mean()
-        print(f"mean rel delta {rel*100:.3f}%  max pixel delta {pix:.4f}  "
-              f"pixels>1e-3: {frac*100:.2f}%")
-        print(f"BOUND: mean rel delta must stay < {BOUND*100:.1f}% "
-              f"({'PASS' if rel < BOUND else 'FAIL'})")
+        print(f"BOUND: tpu-vs-cpu mean rel delta must stay < "
+              f"{BOUND*100:.1f}% ({'PASS' if rel < BOUND else 'FAIL'})")
 
 
 if __name__ == "__main__":
