@@ -582,12 +582,25 @@ def mesh_closest(cfg: SceneConfig, scene: SceneData, origin, direction,
     # ~40% of the round-4 backward; tools/bwd_trace.py round-5)
     name = jax.ad_checkpoint.checkpoint_name
     if cfg.mesh_accel == "brute":
-        tm, tri = mesh_brute.mesh_intersect(scene.bf_feat, scene.bf_clusters,
-                                            origin, direction, t_init,
-                                            active=active, any_hit=any_hit,
-                                            exclude=exclude_tri)
-        tri = _validate_winner(scene.bf_tri_verts, tri, origin, direction,
-                               t_init)
+        tm, tri_raw = mesh_brute.mesh_intersect(
+            scene.bf_feat, scene.bf_clusters, origin, direction, t_init,
+            active=active, any_hit=any_hit, exclude=exclude_tri)
+        tri = _validate_winner(scene.bf_tri_verts, tri_raw, origin,
+                               direction, t_init)
+        if cfg.mesh_second_pass and mesh_brute.uses_pallas():
+            # a rejected winner (grazing/near-origin false hit in the
+            # den-multiplied tests) may hide the TRUE triangle behind it:
+            # re-search just those lanes with the false winner excluded.
+            # Cheap: blocks with no rejected lanes set no relevance bits,
+            # so the second dispatch degenerates to scalar branch tests.
+            rejected = (tri_raw >= 0) & (tri < 0)
+            act2 = rejected if active is None else rejected & active
+            _, tri2_raw = mesh_brute.mesh_intersect(
+                scene.bf_feat, scene.bf_clusters, origin, direction,
+                t_init, active=act2, any_hit=any_hit, exclude=tri_raw)
+            tri2 = _validate_winner(scene.bf_tri_verts, tri2_raw, origin,
+                                    direction, t_init)
+            tri = jnp.where(rejected, tri2, tri)
         return tm, name(tri, "hit"), scene.bf_tri_verts, scene.bf_tri_normals
     tm, tri, _, _ = bvh_traverse(scene, origin, direction, t_init,
                                  any_hit=any_hit, active=active)

@@ -98,6 +98,20 @@ _SPLIT_TERMS = {
     "bf16x3": ((0, 0), (1, 0), (0, 1)),
     "bf16x6": ((0, 0), (1, 0), (2, 0), (0, 1), (1, 1), (0, 2)),
 }
+# Precision caveat (measured round 5, tools/tpu_radiance_parity.py):
+# stacked-K bf16x6 matches Precision.HIGHEST bit-for-bit on random-ray
+# populations (0/262144 winner flips) but NOT on render populations --
+# rays originating ON the mesh and silhouette-grazing directions hit
+# cancellation regimes where the MXU's single-dot K accumulation loses
+# the correction products that XLA's pass-wise HIGHEST form keeps,
+# measured as a +0.85% mean-radiance bias on cornell (TPU pallas
+# 0.35452 vs TPU XLA 0.35153 == CPU 0.35153 exactly).  Term ORDER is
+# irrelevant (reordering smallest-first reproduces the bias bitwise:
+# the accumulation is a fixed tree), and a second-dispatch search for
+# validate-rejected winners recovers only 0.14pp at +43% cost (grazing
+# false MISSES dominate, and no re-search can recover a miss).
+# PRT_MESH_PRECISION=highest restores exact parity at 58.1 vs 16.8 ms
+# per dispatch -- the documented quality/speed knob.
 
 
 def _hi_lo_parts(x, n):
@@ -581,6 +595,15 @@ def _intersect_pallas(feat, clusters, origin, direction, t_init, active,
         interpret=interpret,
     )(*operands)
     return out_t[0, :n], out_i[0, :n]
+
+
+def uses_pallas() -> bool:
+    """True when mesh_intersect will take the TPU pallas kernel path
+    (callers gate pallas-specific backstops -- e.g. the validate-reject
+    second pass -- on this; the XLA path is exact and never needs them).
+    """
+    return (jax.devices()[0].platform == "tpu"
+            and not _os.environ.get("PRT_MESH_FORCE_XLA"))
 
 
 def mesh_intersect(feat, clusters, origin, direction, t_init, active=None,

@@ -150,9 +150,20 @@ class SceneConfig:
     enable_env_sampling: bool = True
 
     # mesh intersection backend: "brute" = MXU matmul testing with a
-    # VMEM-resident coefficient table (ops/mesh_brute.py, fast for
-    # <= ~32k triangles), "bvh" = skip-link BVH walk (ops/intersect.py).
+    # VMEM-resident (or HBM-streamed) coefficient table
+    # (ops/mesh_brute.py), "bvh" = skip-link BVH walk (ops/intersect.py).
     mesh_accel: str = "brute"
+
+    # OPT-IN second brute dispatch for lanes whose kernel winner failed
+    # the exact f32 re-test (_validate_winner): re-searches with the
+    # false winner excluded instead of falling back past the mesh.
+    # Measured (round 5): shaves the TPU-vs-CPU radiance bias 0.851% ->
+    # 0.712% but costs +43% fwd+bwd (the extra relevance pass + dispatch
+    # run every iteration), so it stays off by default -- most of the
+    # residual is grazing false MISSES no second search can recover
+    # (tools/tpu_radiance_parity.py decomposition; PERF.md round-5).
+    # Only meaningful on the TPU kernel path.
+    mesh_second_pass: bool = False
 
     # opt-in gradients w.r.t. the mesh VERTEX/NORMAL TABLES.  The
     # transpose of the per-bounce [N,9] table gathers (tri_reattach,
