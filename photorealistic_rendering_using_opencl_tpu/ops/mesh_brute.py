@@ -29,8 +29,11 @@ Triangles are kept in BVH leaf order (spatially sorted) and grouped into
 tiles of TILE triangles; each tile's AABB ("cluster") lets the kernel skip
 whole tiles that no ray in the block can hit closer than its current best
 -- the coherence win of a BVH at matmul granularity.  The full coefficient
-table lives in VMEM (256 B/triangle), which caps this path at ~32k
-triangles; larger meshes fall back to the BVH walk.
+table lives in VMEM (256 B/triangle) up to BRUTE_MAX_TRIS; past that the
+pallas grid gains a table-chunk dimension and the pipeline streams
+CHUNK_TRIS-triangle chunks through VMEM from HBM (measured 4.1x the
+skip-link walk at 82k tris, round 5), up to BRUTE_STREAM_MAX_TRIS where
+the walk takes over.
 
 The hit test is exhaustive, so results equal the BVH walk's closest hit
 (modulo exact-tie ordering).  Traversal stays detached; gradients reattach

