@@ -582,9 +582,43 @@ def mesh_closest(cfg: SceneConfig, scene: SceneData, origin, direction,
     # ~40% of the round-4 backward; tools/bwd_trace.py round-5)
     name = jax.ad_checkpoint.checkpoint_name
     if cfg.mesh_accel == "brute":
+        perm = None
+        if cfg.mesh_sort_rays and mesh_brute.uses_pallas():
+            # block-coherence sort (see SceneConfig.mesh_sort_rays):
+            # key = direction octant | quantized origin cell.  All inputs
+            # are permuted, outputs unpermuted -- exactly result-
+            # invariant since tile relevance is conservative per lane.
+            sg = jax.lax.stop_gradient
+            o_sg, d_sg = sg(origin), sg(direction)
+            cl = sg(scene.bf_clusters)
+            lo = jnp.min(cl[:, 0:3], axis=0)
+            hi = jnp.max(jnp.where(cl[:, 3:6] > -1e37, cl[:, 3:6],
+                                   lo[None]), axis=0)
+            cell = jnp.clip(((o_sg - lo) / jnp.maximum(hi - lo, 1e-6)
+                             * 31.0).astype(jnp.int32), 0, 31)
+            octant = ((d_sg[:, 0] < 0).astype(jnp.int32)
+                      | ((d_sg[:, 1] < 0).astype(jnp.int32) << 1)
+                      | ((d_sg[:, 2] < 0).astype(jnp.int32) << 2))
+            key = ((octant << 15) | (cell[:, 0] << 10)
+                   | (cell[:, 1] << 5) | cell[:, 2])
+            perm = jnp.argsort(key)
+            inv_perm = jnp.argsort(perm)
+            origin_k, direction_k = origin[perm], direction[perm]
+            t_init_k = jnp.broadcast_to(t_init, key.shape)[perm]
+            active_k = None if active is None else active[perm]
+            any_hit_k = (any_hit if isinstance(any_hit, bool)
+                         else any_hit[perm])
+            exclude_k = None if exclude_tri is None else exclude_tri[perm]
+        else:
+            origin_k, direction_k, t_init_k = origin, direction, t_init
+            active_k, any_hit_k, exclude_k = active, any_hit, exclude_tri
+
         tm, tri_raw = mesh_brute.mesh_intersect(
-            scene.bf_feat, scene.bf_clusters, origin, direction, t_init,
-            active=active, any_hit=any_hit, exclude=exclude_tri)
+            scene.bf_feat, scene.bf_clusters, origin_k, direction_k,
+            t_init_k, active=active_k, any_hit=any_hit_k,
+            exclude=exclude_k)
+        if perm is not None:
+            tm, tri_raw = tm[inv_perm], tri_raw[inv_perm]
         tri = _validate_winner(scene.bf_tri_verts, tri_raw, origin,
                                direction, t_init)
         if cfg.mesh_second_pass and mesh_brute.uses_pallas():

@@ -286,6 +286,9 @@ def build_scene(doc: dict, models_dir: str | None = None,
         alpha_testing=alpha_testing,
         has_env_map=env_map is not None,
         mesh_accel=_pick_mesh_accel(n_tris),
+        # block-coherence ray sorting pays exactly when the table streams
+        # (many tiles/block; see SceneConfig.mesh_sort_rays)
+        mesh_sort_rays=n_tris > mesh_brute.BRUTE_MAX_TRIS,
     )
 
     # the reference clamps all rays at INF = 20 world units (header.cl:5),

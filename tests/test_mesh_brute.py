@@ -159,3 +159,40 @@ def test_streamed_chunked_kernel_matches_xla(mesh_setup, rng, monkeypatch):
     assert (np.asarray(tri_p)[~act_np] == -1).all()
     np.testing.assert_allclose(np.asarray(t_p)[cl_m],
                                np.asarray(t_x)[cl_m], rtol=1e-3, atol=1e-5)
+
+
+def test_ray_sorting_is_result_invariant(mesh_setup, rng, monkeypatch):
+    """mesh_sort_rays permutes lanes before the dispatch and unpermutes
+    the results; tile relevance is conservative per lane, so the hit must
+    be BITWISE identical with sorting on or off (here through the XLA
+    backend with the pallas gate forced open so the sort wrapper runs)."""
+    import dataclasses
+
+    from photorealistic_rendering_using_opencl_tpu.ops import intersect
+    from photorealistic_rendering_using_opencl_tpu.scene.loader import (
+        build_scene,
+    )
+    from photorealistic_rendering_using_opencl_tpu.scene.obj import (
+        make_icosphere,
+    )
+
+    monkeypatch.setattr(mesh_brute, "uses_pallas", lambda: True)
+    doc = {"settings": {"MAX_BOUNCES": 2},
+           "scene": {"spheres": [
+               {"pos": [0.0, 3.0, 0.0], "radius": 0.5,
+                "material": {"color": [5.0, 5.0, 5.0], "type": 0}}]}}
+    mesh = make_icosphere(subdiv=2, radius=0.9, center=(0.0, 0.5, 0.0))
+    cfg, scene = build_scene(doc, mesh_override=mesh)
+    cfg = dataclasses.replace(cfg, mesh_accel="brute")
+
+    n = 700
+    o = jnp.asarray(rng.uniform(-2, 2, (n, 3)).astype(np.float32))
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d = jnp.asarray(d / np.linalg.norm(d, axis=1, keepdims=True))
+    h0 = intersect.intersect_scene(cfg, scene, o, d)
+    cfg_s = dataclasses.replace(cfg, mesh_sort_rays=True)
+    h1 = intersect.intersect_scene(cfg_s, scene, o, d)
+    np.testing.assert_array_equal(np.asarray(h0.tri), np.asarray(h1.tri))
+    np.testing.assert_array_equal(np.asarray(h0.t), np.asarray(h1.t))
+    np.testing.assert_array_equal(np.asarray(h0.mesh_id),
+                                  np.asarray(h1.mesh_id))
