@@ -245,6 +245,12 @@ def main() -> None:
             "mean_radiance": round(mean_rad, 5),
             "bounces": cfg.max_bounces,
             "n_triangles": cfg.n_triangles,
+            # grad surface note: with mesh_vertex_grads=False (default)
+            # the mesh vertex/normal TABLE leaves are detached and their
+            # benched gradients are exact zeros (opt-in costs +15%,
+            # PERF.md round-5); every other float leaf + the camera
+            # pytree carries live gradients
+            "mesh_vertex_grads": cfg.mesh_vertex_grads,
         }
         if fb_rate is not None:
             best = {
