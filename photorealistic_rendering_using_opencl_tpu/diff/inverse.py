@@ -29,20 +29,24 @@ class FitResult(NamedTuple):
 
 
 def image_loss(cfg: SceneConfig, scene: SceneData, cam, width: int,
-               height: int, spp: int, target, seed=0) -> jnp.ndarray:
+               height: int, spp: int, target, seed=0,
+               method: str = "scan", regen_iters: int = 0) -> jnp.ndarray:
     img, _ = pathtracer.render(cfg, scene, cam, width, height, spp,
-                               seed=seed)
+                               seed=seed, method=method,
+                               regen_iters=regen_iters)
     return jnp.mean(jnp.square(img - target))
 
 
 def make_loss_fn(cfg: SceneConfig, scene: SceneData, cam, width: int,
                  height: int, spp: int, target,
-                 param_leaves: Iterable[str] = DEFAULT_PARAM_LEAVES):
+                 param_leaves: Iterable[str] = DEFAULT_PARAM_LEAVES,
+                 method: str = "scan", regen_iters: int = 0):
     """Returns loss(params_dict, seed) closing over the static scene."""
 
     def loss(params, seed):
         s = dataclasses.replace(scene, **params)
-        return image_loss(cfg, s, cam, width, height, spp, target, seed)
+        return image_loss(cfg, s, cam, width, height, spp, target, seed,
+                          method=method, regen_iters=regen_iters)
 
     return loss
 
@@ -51,17 +55,32 @@ def fit_scene(cfg: SceneConfig, scene: SceneData, cam, width: int,
               height: int, spp: int, target, steps: int = 50,
               lr: float = 5e-2,
               param_leaves: Iterable[str] = DEFAULT_PARAM_LEAVES,
-              optimizer=None) -> FitResult:
+              optimizer=None, method: str = "scan",
+              regen_margin: float = 1.25) -> FitResult:
     """Gradient-descend the selected scene leaves toward the target image.
 
     Uses optax.adam when available (it is baked into the environment);
     falls back to plain SGD otherwise.  A fresh RNG seed per step keeps the
     MC gradient unbiased across the trajectory.
+
+    ``method="regen_scan"`` runs the differentiable path-regeneration
+    driver (3x the fwd+bwd rate of "scan" at the bench shape, PERF.md
+    round-5): the iteration budget is calibrated ONCE on the initial
+    scene with ``regen_margin`` headroom, so optimization trajectories
+    that lengthen paths substantially (e.g. albedos driven toward 1)
+    can under-run the budget -- partial radiance is still banked, but
+    prefer "scan" (always-exact) when parameters move far.
     """
     param_leaves = tuple(param_leaves)
     params = {k: getattr(scene, k) for k in param_leaves}
+    regen_iters = 0
+    if method == "regen_scan":
+        regen_iters = pathtracer.calibrate_regen_iters(
+            cfg, scene, cam, width, height, spp, seed=1,
+            margin=regen_margin)
     loss_fn = make_loss_fn(cfg, scene, cam, width, height, spp, target,
-                           param_leaves)
+                           param_leaves, method=method,
+                           regen_iters=regen_iters)
 
     if optimizer is None:
         import optax

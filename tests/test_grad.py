@@ -347,3 +347,20 @@ def test_sanitizer_detects_planted_nan(monkeypatch):
     g_poisoned = grad_color()
     assert not np.isfinite(g_poisoned).all(), (
         "planted live-lane NaN went undetected")
+
+
+def test_inverse_rendering_regen_scan_driver():
+    """fit_scene(method="regen_scan"): the fast differentiable driver
+    optimizes the same scene to the same place as "scan" (identical
+    estimator, counter-keyed RNG; 3x rate on TPU, PERF.md r5)."""
+    from photorealistic_rendering_using_opencl_tpu.diff import fit_scene
+    cfg, scene = build_scene(CORNELL)
+    cam = default_camera(W, H).pytree()
+    target, _ = pathtracer.render(cfg, scene, cam, W, H, 8, seed=11)
+    wrong = dataclasses.replace(
+        scene, color=scene.color.at[2].set(jnp.array([0.2, 0.6, 0.9])))
+    res = fit_scene(cfg, wrong, cam, W, H, 4, target, steps=16, lr=0.1,
+                    param_leaves=("color",), method="regen_scan")
+    assert float(res.losses[-1]) < float(res.losses[0]) * 0.6
+    rec = np.asarray(res.scene.color[2])
+    assert np.abs(rec - np.array([0.8, 0.1, 0.1])).max() < 0.3
