@@ -53,7 +53,13 @@ from photorealistic_rendering_using_opencl_tpu.ops.math import EPS
 
 import os as _os
 
-TILE = int(_os.environ.get("PRT_MESH_TILE", "512"))  # tris per cluster tile
+# triangles per cluster tile.  Round-5 sweep at the flagship fwd+bwd
+# shape: 512 -> 1.290 s, 256 -> 1.232 s, 128 -> 1.222 s (finer clusters
+# let the relevance prune actually bite on divergent bounce rays:
+# per-block tile unions shrink faster than the per-tile branch overhead
+# grows), 64 fails to compile; parity at 128 is 0/262144 flips on both
+# closest and any-hit lanes and the streamed path is unaffected.
+TILE = int(_os.environ.get("PRT_MESH_TILE", "128"))
 BLOCK = int(_os.environ.get("PRT_MESH_BLOCK", "512"))  # rays per instance
 FEAT = 16  # ray feature width (10 used, padded for sublane tiling)
 # largest mesh whose full coefficient table stays VMEM-resident for the
