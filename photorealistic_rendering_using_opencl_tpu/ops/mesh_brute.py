@@ -60,7 +60,12 @@ import os as _os
 # grows), 64 fails to compile; parity at 128 is 0/262144 flips on both
 # closest and any-hit lanes and the streamed path is unaffected.
 TILE = int(_os.environ.get("PRT_MESH_TILE", "128"))
-BLOCK = int(_os.environ.get("PRT_MESH_BLOCK", "512"))  # rays per instance
+# rays per kernel instance.  Round-5 sweep at TILE=128 (flagship fwd+bwd
+# shape): 512 -> 1.222 s, 256 -> 1.126 s, 128 -> 1.170 s; the streamed
+# 82k-tri path also improves (1.18 -> 1.30 M interior rays/s at 256).
+# Finer blocks tighten each block's relevant-tile union; below 256 the
+# per-block fixed costs win back.  Parity at 128/256: 0/262144 flips.
+BLOCK = int(_os.environ.get("PRT_MESH_BLOCK", "256"))
 FEAT = 16  # ray feature width (10 used, padded for sublane tiling)
 # largest mesh whose full coefficient table stays VMEM-resident for the
 # whole dispatch; bigger meshes switch to the HBM-streamed variant where
